@@ -1,0 +1,65 @@
+"""Static render configuration.
+
+The reference folds config into ``RenderEnv`` (src/render.rs:646-666) alongside
+scene data. The TPU build splits them: traced, differentiable scene state lives
+in :class:`ray_rust_tpu.models.scene.Scene`; everything that shapes the compiled
+program (resolution, unroll depths, render mode) lives here as a hashable
+frozen dataclass usable as a ``jax.jit`` static argument.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Optional
+
+__all__ = ["RenderConfig"]
+
+# Reference compile-time constants (src/render.rs:11-12, 1253-1255)
+REF_MAX_REFLECTIONS = 3
+REF_MAX_REFRACTIONS = 10
+RAYMARCH_EPS = 1e-3
+FAR_AWAY = 1e4
+MARCH_MAX_ITER = 10000
+
+
+@dataclasses.dataclass(frozen=True)
+class RenderConfig:
+    xres: int = 320
+    yres: int = 240
+    xfov: float = 1.0
+    yfov: Optional[float] = None  # defaults to yres/xres (src/main.rs:135-136)
+
+    # Whitted trace unroll depths. These are *static*: the reference's dynamic
+    # recursion (render.rs:1142-1224, 1093-1115) becomes a fixed unrolled
+    # program; every call site passes a compile-time level.
+    max_reflections: int = REF_MAX_REFLECTIONS
+    max_refractions: int = REF_MAX_REFRACTIONS
+
+    use_raymarching: bool = False
+    # Glow strength (reference ``glow_effect: Option<f32>``, render.rs:663).
+    # None disables the glow post-multiply entirely (static branch).
+    glow_effect: Optional[float] = None
+
+    # Ray-march loop constants (render.rs:1253-1255). The raymarch reflection
+    # loop is capped by the reference's *compile-time* MAX_REFLECTIONS, not the
+    # env's field (render.rs:1368,1391) — kept as its own knob for parity.
+    march_eps: float = RAYMARCH_EPS
+    far_away: float = FAR_AWAY
+    march_max_iter: int = MARCH_MAX_ITER
+    raymarch_max_reflections: int = REF_MAX_REFLECTIONS
+
+    # When True, the march uses a fixed-budget masked scan (reverse-mode
+    # differentiable); when False, a batched while_loop that exits as soon as
+    # every lane converges (fast forward-only path).
+    differentiable: bool = False
+    march_budget: int = 512  # scan length in differentiable mode
+
+    # Background shader registry key (the reference's ``bgproc`` fn pointer,
+    # render.rs:661, is never serialized — sky is always code).
+    bg: str = "default_sky"
+
+    def resolved_yfov(self) -> float:
+        return self.yfov if self.yfov is not None else self.yres / self.xres
+
+    def with_(self, **kw) -> "RenderConfig":
+        return dataclasses.replace(self, **kw)
