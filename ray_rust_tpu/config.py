@@ -34,6 +34,15 @@ class RenderConfig:
     # program; every call site passes a compile-time level.
     max_reflections: int = REF_MAX_REFLECTIONS
     max_refractions: int = REF_MAX_REFRACTIONS
+    # Static unroll cap for the refraction recursion. The semantic depth cap
+    # stays ``max_refractions`` (serialization parity with render.rs:12), but
+    # the *program* only unrolls min(max_refractions, refraction_unroll)
+    # levels: deeper pseudo-refraction chains need >=3 stacked transparent
+    # interfaces, which the throughput cutoff usually kills anyway — on the
+    # reference default scene depth 3 is bit-identical to depth 10 (measured
+    # with the scalar oracle), while compile time scales ~3x per extra level.
+    # Set to None for the exact reference unroll.
+    refraction_unroll: Optional[int] = 4
 
     use_raymarching: bool = False
     # Glow strength (reference ``glow_effect: Option<f32>``, render.rs:663).
@@ -57,6 +66,13 @@ class RenderConfig:
     # Background shader registry key (the reference's ``bgproc`` fn pointer,
     # render.rs:661, is never serialized — sky is always code).
     bg: str = "default_sky"
+
+    # Backward-pass hygiene: hits beyond this distance (knife-edge horizon
+    # rays grazing the floor at t ~ 1e8) are treated as constants in the
+    # backward pass — their ~t^2-scale gradient contributions are degenerate
+    # (measure-zero pixels) and otherwise explode scene-parameter gradients.
+    # Forward output is unchanged. Set to None to disable.
+    grad_distance_cutoff: Optional[float] = 1e6
 
     def resolved_yfov(self) -> float:
         return self.yfov if self.yfov is not None else self.yres / self.xres

@@ -108,11 +108,18 @@ def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
     # Pseudo-refraction (render.rs:1093-1132): static depth gate + dynamic
     # transparency gate. The sub-trace starts at level ``nest`` with the
     # source object ignored and OUTONLY/INONLY chosen by entry/exit sign.
-    if nest < cfg.max_refractions:
+    # ``refraction_unroll`` caps the unrolled program depth (see config.py).
+    unroll_cap = cfg.max_refractions
+    if cfg.refraction_unroll is not None:
+        unroll_cap = min(unroll_cap, cfg.refraction_unroll)
+    if nest < unroll_cap:
         sp = eye.dot(n)
         f = transparency_self
         fracn = jnp.take(mats.refraction, mat_id)
-        fracn_safe = jnp.where(f > 0.0, fracn, 1.0)
+        # guard |n| ~ 0: a material with t>0 but n==0 is degenerate (the
+        # reference computes 1/0 -> NaN rays); treat as index 1 so the forward
+        # and backward stay finite under optimization drift
+        fracn_safe = jnp.where((f > 0.0) & (jnp.abs(fracn) > 1e-6), fracn, 1.0)
         bend = sp * (jnp.where(sp > 0.0, fracn_safe, 1.0 / fracn_safe) - 1.0)
         ray = (eye + Vec3(n.x * bend, n.y * bend, n.z * bend)).normalized()
         pt3 = pt + ray * F32_EPSILON
@@ -186,6 +193,12 @@ def raytrace(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
         hit = jnp.isfinite(t)
         t_safe = jnp.where(hit, t, 0.0)
         pt = vi + eye * t_safe
+        if cfg.grad_distance_cutoff is not None:
+            from jax import lax
+
+            near = t_safe < cfg.grad_distance_cutoff
+            t_safe = jnp.where(near, t_safe, lax.stop_gradient(t_safe))
+            pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
         n = surface_normal(scene.objects, idx, pt)
         face = shading(scene, cfg, idx, n, pt, eye, lev_i)
         ks = scene.materials.specular.take(_gather_mat(scene, idx))
@@ -239,6 +252,11 @@ def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
         )
         hit = res.final_dist < cfg.march_eps
         pt = res.pos
+        if cfg.grad_distance_cutoff is not None:
+            from jax import lax
+
+            near = res.travel_dist < cfg.grad_distance_cutoff
+            pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
         n = surface_normal(scene.objects, res.idx, pt)
         face = shading(scene, cfg, res.idx, n, pt, eye, lev_i)
         ks = scene.materials.specular.take(_gather_mat(scene, res.idx))

@@ -58,15 +58,17 @@ def test_slerp_endpoints_and_long_path():
     # degenerate (identical) case returns self
     s = a.slerp(a, 0.5)
     np.testing.assert_allclose(float(s.x), float(a.x), atol=1e-7)
-    # long path: negate b -> dot < 0; interpolated rotation must still act like
-    # the short-path interpolation on vectors
+    # long path: negate b -> dot < 0 takes the sign-fix branch
+    # (quat.rs:116-118). The reference's fix yields a NON-unit quaternion, so
+    # the transform picks up a |q|^2 scale (harmless: ray gen re-normalizes,
+    # render.rs:815) — compare directions only.
     bneg = Quat(-b.x, -b.y, -b.z, -b.w)
     mid1 = a.slerp(b, 0.5)
     mid2 = a.slerp(bneg, 0.5)
     vec = v3(1.0, -2.0, 0.5)
-    np.testing.assert_allclose(
-        _as_np(mid1.transform(vec)), _as_np(mid2.transform(vec)), atol=1e-4
-    )
+    d1 = mid1.transform(vec).normalized()
+    d2 = mid2.transform(vec).normalized()
+    np.testing.assert_allclose(_as_np(d1), _as_np(d2), atol=1e-4)
 
 
 def test_vec_normalized_zero_safe():

@@ -1,0 +1,73 @@
+"""Multi-device sharding tests on the 8-way virtual CPU mesh (conftest)."""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import pytest
+
+import ray_rust_tpu as rt
+from ray_rust_tpu.parallel.shard import make_mesh, render_sharded, render_tiled_u8
+from ray_rust_tpu.renderer import render_color, render_u8
+
+
+@pytest.fixture(scope="module")
+def scene():
+    s, _ = rt.default_scene()
+    return s
+
+
+def _np_img(col):
+    return np.stack([np.asarray(col.r), np.asarray(col.g), np.asarray(col.b)], -1)
+
+
+def test_sharded_matches_single(scene):
+    """Partitioned codegen rounds differently (ulp-level), so compare with a
+    knife-edge budget like the oracle parity tests: pixels crossing a decision
+    boundary may flip, everything else must agree tightly."""
+    cfg = rt.RenderConfig(xres=64, yres=32, max_refractions=1)
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    ref = _np_img(render_color(scene, cfg))
+    got = _np_img(render_sharded(scene, cfg, mesh))
+    diff = np.abs(got - ref)
+    bad_frac = (diff.max(-1) > 1e-3).mean()
+    # at 64x32 the singular horizon row alone is 1/32 = 3.1% of pixels
+    assert bad_frac <= 0.06, f"{bad_frac:.2%} pixels differ >1e-3"
+    assert diff.mean() < 0.02, diff.mean()
+
+
+def test_sharded_layout(scene):
+    cfg = rt.RenderConfig(xres=64, yres=32, max_refractions=1)
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    out = render_sharded(scene, cfg, mesh)
+    shard_shapes = {s.data.shape for s in out.r.addressable_shards}
+    assert shard_shapes == {(8, 32)}, shard_shapes  # 32/4 rows x 64/2 cols
+
+
+def test_tiled_matches_monolithic(scene):
+    cfg = rt.RenderConfig(xres=32, yres=32, max_refractions=1)
+    mesh = make_mesh(jax.devices(), dp=8, sp=1)
+    ref = np.asarray(render_u8(scene, cfg))
+    got = render_tiled_u8(scene, cfg, mesh, rows_per_tile=8)
+    np.testing.assert_array_equal(got, ref)
+
+
+def test_indivisible_mesh_raises(scene):
+    cfg = rt.RenderConfig(xres=30, yres=30)
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    with pytest.raises(ValueError):
+        render_sharded(scene, cfg, mesh)
+
+
+def test_dryrun_entrypoints():
+    from ray_rust_tpu.parallel.dryrun import run
+
+    run(8)
+
+
+def test_graft_entry_single():
+    import __graft_entry__ as ge
+
+    fn, args = ge.entry()
+    out = jax.jit(fn)(*args)
+    jax.block_until_ready(out)
+    assert np.asarray(out.r).shape == (96, 128)
