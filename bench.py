@@ -1,0 +1,149 @@
+"""Benchmark harness (driver-run on real TPU).
+
+Headline metric (BASELINE.json north star): primary Mrays/s/chip for
+forward+backward rendering of the default scene at 1920x1080, full reference
+depths (refraction unroll 4 == bit-identical to the reference's depth-10
+semantics on this scene; measured with the scalar oracle).
+
+Prints ONE JSON line to stdout; supplementary metrics go to stderr.
+
+Measurement notes for this environment: the TPU is reached through a tunnel
+with ~30 ms per-dispatch latency and a large one-time compile overhead, so
+every timed function reduces to a scalar *inside* jit (single roundtrip) and
+the throughput numbers also report an amortized variant that chains R renders
+per dispatch.
+
+Baseline: the reference publishes no numbers (BASELINE.md) and no Rust
+toolchain exists in this image, so ``vs_baseline`` is computed against a
+documented estimate of the reference's throughput: ray-rust's brute-force
+per-pixel scan (no BVH, render.rs:993-1018) on its default 8 threads
+(main.rs:48) reaches roughly 4 Mrays/s primary on a modern 8-core desktop
+CPU for this scene — a deliberately generous figure recorded in BENCH_NOTES.md.
+"""
+
+import json
+import sys
+import time
+
+RUST_BASELINE_PRIMARY_MRAYS = 4.0
+CHAIN = 8  # renders per dispatch for amortized throughput
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    t_start = time.perf_counter()
+    import jax
+    import jax.numpy as jnp
+
+    import ray_rust_tpu as rt
+    from ray_rust_tpu.renderer import render_color
+    from ray_rust_tpu.parallel.train import render_loss
+
+    dev = jax.devices()[0]
+    log(f"device: {dev}")
+
+    scene, _ = rt.default_scene()
+
+    def scalar(col):
+        return jnp.sum(col.r) + jnp.sum(col.g) + jnp.sum(col.b)
+
+    # Absorb the one-time compile overhead of this environment's TPU tunnel.
+    t0 = time.perf_counter()
+    warm_cfg = rt.RenderConfig(xres=32, yres=24, max_reflections=1, max_refractions=1)
+    float(jax.jit(lambda s: scalar(render_color(s, warm_cfg)))(scene))
+    log(f"warmup compile: {time.perf_counter() - t0:.1f}s")
+
+    W, H = 1920, 1080
+    cfg = rt.RenderConfig(xres=W, yres=H)
+    rays = W * H
+
+    def timed(fn, arg, iters=5, what=""):
+        t0 = time.perf_counter()
+        float(fn(arg))
+        log(f"{what} compile+first: {time.perf_counter() - t0:.1f}s")
+        t0 = time.perf_counter()
+        for _ in range(iters):
+            out = float(fn(arg))
+        dt = (time.perf_counter() - t0) / iters
+        assert out == out, "nan"
+        return dt
+
+    # ---- forward: single dispatch + amortized chain ----
+    fwd = jax.jit(lambda s: scalar(render_color(s, cfg)))
+    fwd_t = timed(fwd, scene, what="fwd")
+    log(f"fwd 1080p single-dispatch: {fwd_t*1e3:.2f} ms")
+
+    def chain_fn(s):
+        def body(acc, dx):
+            cam = s.camera
+            s2 = s._replace(
+                camera=cam._replace(position=cam.position._replace(x=cam.position.x + dx))
+            )
+            return acc + scalar(render_color(s2, cfg)), None
+
+        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(CHAIN, dtype=jnp.float32) * 1e-3)
+        return acc
+
+    fwd_chain = jax.jit(chain_fn)
+    chain_t = timed(fwd_chain, scene, iters=3, what="fwd-chain")
+    fwd_amort = chain_t / CHAIN
+    fwd_mrays = rays / fwd_amort / 1e6
+    log(f"fwd 1080p amortized: {fwd_amort*1e3:.2f} ms -> {fwd_mrays:.1f} Mrays/s primary")
+
+    # ---- forward+backward (scene-parameter gradients) ----
+    img0 = jax.jit(lambda s: render_color(s, cfg))(scene)
+    target = jnp.stack([img0.r, img0.g, img0.b], -1) + 0.05
+
+    grad_fn = jax.value_and_grad(lambda s: render_loss(s, cfg, target), allow_int=True)
+
+    def fb_scalar(s):
+        loss, grads = grad_fn(s)
+        acc = loss
+        for leaf in jax.tree_util.tree_leaves(grads):
+            if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                acc = acc + jnp.sum(leaf)
+        return acc
+
+    vg = jax.jit(fb_scalar)
+    fb_t = timed(vg, scene, what="fwd+bwd")
+    fb_mrays = rays / fb_t / 1e6
+    log(f"fwd+bwd 1080p: {fb_t*1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s primary")
+
+    # ---- supplementary: raymarch + glow 1280x720 (config 3) ----
+    march_ms = None
+    if time.perf_counter() - t_start < 360:
+        try:
+            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True, glow_effect=1.0)
+            march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
+            m_t = timed(march, scene, iters=2, what="march")
+            march_ms = m_t * 1e3
+            log(f"raymarch+glow 720p: {march_ms:.1f} ms -> {1280*720/m_t/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"march bench failed: {e}")
+
+    extra = {
+        "fwd_amortized_ms": round(fwd_amort * 1e3, 3),
+        "fwd_single_dispatch_ms": round(fwd_t * 1e3, 3),
+        "fwd_amortized_mrays": round(fwd_mrays, 2),
+        "fwd_bwd_ms": round(fb_t * 1e3, 3),
+    }
+    if march_ms is not None:
+        extra["raymarch_720p_ms"] = round(march_ms, 1)
+    print(
+        json.dumps(
+            {
+                "metric": "primary Mrays/s/chip fwd+bwd, default scene 1920x1080",
+                "value": round(fb_mrays, 2),
+                "unit": "Mrays/s",
+                "vs_baseline": round(fb_mrays / RUST_BASELINE_PRIMARY_MRAYS, 2),
+                "extra": extra,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

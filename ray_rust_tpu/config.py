@@ -67,6 +67,11 @@ class RenderConfig:
     # render.rs:661, is never serialized — sky is always code).
     bg: str = "default_sky"
 
+    # Rematerialize each bounce step in the backward pass (recompute instead
+    # of storing every (H, W) intermediate — the unrolled trace is otherwise
+    # residual-bound on HBM traffic).
+    remat: bool = True
+
     # Backward-pass hygiene: hits beyond this distance (knife-edge horizon
     # rays grazing the floor at t ~ 1e8) are treated as constants in the
     # backward pass — their ~t^2-scale gradient contributions are degenerate

@@ -82,13 +82,13 @@ def _sample_texture(bank, tex_id, filt, u, v) -> Color:
     return Color(p[..., 0], p[..., 1], p[..., 2])
 
 
-def lookup_diffuse(scene: Scene, mat_id, uv) -> Color:
+def lookup_diffuse(scene: Scene, fields, uv) -> Color:
     """Diffuse color at a hit: image texture if present, else pattern
-    (render.rs:249-316). ``mat_id`` is the per-hit material row."""
+    (render.rs:249-316). ``fields`` carries the pre-gathered per-hit material
+    properties (ops/gather.py)."""
     u, v = uv
-    mats = scene.materials
-    diffuse = mats.diffuse.take(mat_id)
-    pattern = jnp.take(mats.pattern, mat_id)
+    diffuse = fields.diffuse
+    pattern = fields.pattern
 
     # Checkerboard (render.rs:301-309): black when floor(u)+floor(v) is even.
     ix = jnp.floor(u).astype(jnp.int32)
@@ -107,8 +107,8 @@ def lookup_diffuse(scene: Scene, mat_id, uv) -> Color:
     col = grad.where(is_grad, col)
 
     if scene.textures is not None:
-        tex_id = jnp.take(mats.texture_id, mat_id)
-        filt = jnp.take(mats.texture_filter, mat_id)
+        tex_id = fields.texture_id
+        filt = fields.texture_filter
         tid_safe = jnp.maximum(tex_id, 0)
         tex_col = _sample_texture(scene.textures, tid_safe, filt, u, v)
         col = tex_col.where(tex_id >= 0, col)

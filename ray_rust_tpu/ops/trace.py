@@ -26,11 +26,13 @@ Reference quirks preserved deliberately:
 from __future__ import annotations
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from ..config import RenderConfig
 from ..models.scene import Scene
 from ..models.vec import Color, Vec3
+from .gather import HitFields, gather_hit_fields, surface_normal_from
 from .intersect import (
     BIGNORE,
     F32_EPSILON,
@@ -39,7 +41,6 @@ from .intersect import (
     OUTONLY,
     RIGNORE,
     raycast,
-    surface_normal,
 )
 from .march import march_single
 from .sky import get_bg
@@ -55,13 +56,13 @@ def _gather_mat(scene: Scene, idx):
     return jnp.take(scene.objects.mat, idx)
 
 
-def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
-            nest: int) -> Color:
+def shading(scene: Scene, cfg: RenderConfig, idx, fields: HitFields, n: Vec3,
+            pt: Vec3, eye: Vec3, nest: int) -> Color:
     """Lambert + Phong + shadow + texture + pseudo-refraction
     (render.rs:1020-1140). ``nest`` is static — the refraction recursion
-    unrolls while ``nest < cfg.max_refractions``."""
-    objs, mats = scene.objects, scene.materials
-    mat_id = _gather_mat(scene, idx)
+    unrolls while ``nest < cfg.max_refractions``. ``fields`` carries the
+    pre-gathered per-hit object/material properties (see ops/gather.py)."""
+    mats = scene.materials
     light = scene.light
 
     # Lambert + Phong lobes (render.rs:1024-1046)
@@ -70,7 +71,7 @@ def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
     reflected_to_light = Vec3(n.x * ln2, n.y * ln2, n.z * ln2) - light
     diffuse_intensity = jnp.maximum(light_incidence, 0.0)
     shadow_org = pt + light * F32_EPSILON
-    pn = jnp.take(mats.pn, mat_id)
+    pn = fields.pn
     refl_incidence = -reflected_to_light.dot(eye)
     ri_safe = jnp.where(refl_incidence > 0.0, refl_incidence, 1.0)
     reflection_intensity = jnp.where(
@@ -78,7 +79,7 @@ def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
     )
 
     # Shadow trace (render.rs:1048-1082)
-    transparency_self = jnp.take(mats.transparency, mat_id)
+    transparency_self = fields.transparency
     if cfg.use_raymarching:
         res = march_single(scene, cfg, shadow_org, light.broadcast_to(pt.shape), idx)
         lit = (
@@ -96,12 +97,9 @@ def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
     k2 = jnp.where(lit, reflection_intensity, 0.0)
 
     # Face texturing (render.rs:1085; uv relative to object org, render.rs:434-437,544-547)
-    org_g = objs.org.take(idx)
-    uvmap_g = jnp.take(objs.uvmap, idx)
-    ps = jnp.take(mats.pattern_scale, mat_id)
-    pas = jnp.take(mats.pattern_angle_scale, mat_id)
-    uv = get_uv(pt - org_g, uvmap_g, ps, pas)
-    kd = lookup_diffuse(scene, mat_id, uv)
+    uv = get_uv(pt - fields.org, fields.uvmap, fields.pattern_scale,
+                fields.pattern_angle_scale)
+    kd = lookup_diffuse(scene, fields, uv)
 
     base = Color(kd.r * k1 + k2, kd.g * k1 + k2, kd.b * k1 + k2)
 
@@ -115,7 +113,7 @@ def shading(scene: Scene, cfg: RenderConfig, idx, n: Vec3, pt: Vec3, eye: Vec3,
     if nest < unroll_cap:
         sp = eye.dot(n)
         f = transparency_self
-        fracn = jnp.take(mats.refraction, mat_id)
+        fracn = fields.refraction
         # guard |n| ~ 0: a material with t>0 but n==0 is degenerate (the
         # reference computes 1/0 -> NaN rays); treat as index 1 so the forward
         # and backward stay finite under optimization drift
@@ -183,12 +181,28 @@ def raytrace(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
     fcs = Color.full(1.0, 1.0, 1.0, shape)
     ret = Color.zero(shape)
     active = jnp.ones(shape, bool)
-    bg_fn = get_bg(cfg.bg)
 
     n_iters = max(1, cfg.max_reflections - lev)
     for step in range(n_iters):
         lev_i = lev + 1 + step
+        step_fn = _raytrace_step(cfg, lev_i)
+        if cfg.remat:
+            step_fn = jax.checkpoint(step_fn)
+        vi, eye, flags, ig, fcs, ret, active = step_fn(
+            scene, vi, eye, flags, ig, fcs, ret, active
+        )
 
+    return ret
+
+
+def _raytrace_step(cfg: RenderConfig, lev_i: int):
+    """One bounce of the Whitted loop as a pure state-transition function —
+    the rematerialization unit: under ``cfg.remat``, XLA recomputes the whole
+    bounce (intersections, shading, the refraction subtree) in the backward
+    pass instead of spilling every (H, W) intermediate to HBM."""
+
+    def step_fn(scene, vi, eye, flags, ig, fcs, ret, active):
+        bg_fn = get_bg(cfg.bg)
         t, idx = raycast(scene, vi, eye, ig, flags)
         hit = jnp.isfinite(t)
         t_safe = jnp.where(hit, t, 0.0)
@@ -197,11 +211,11 @@ def raytrace(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
             from jax import lax
 
             near = t_safe < cfg.grad_distance_cutoff
-            t_safe = jnp.where(near, t_safe, lax.stop_gradient(t_safe))
             pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
-        n = surface_normal(scene.objects, idx, pt)
-        face = shading(scene, cfg, idx, n, pt, eye, lev_i)
-        ks = scene.materials.specular.take(_gather_mat(scene, idx))
+        fields = gather_hit_fields(scene, idx)
+        n = surface_normal_from(fields, pt)
+        face = shading(scene, cfg, idx, fields, n, pt, eye, lev_i)
+        ks = fields.specular
 
         ret, fcs = _accumulate(ret, fcs, face, ks, active & hit, flags)
 
@@ -224,9 +238,9 @@ def raytrace(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
             & (lev_i < cfg.max_reflections)
         )
         vi, eye, flags, ig = _reflect_update(vi, eye, flags, ig, pt, n, idx, cont)
-        active = cont
+        return vi, eye, flags, ig, fcs, ret, cont
 
-    return ret
+    return step_fn
 
 
 def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
@@ -257,9 +271,10 @@ def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
 
             near = res.travel_dist < cfg.grad_distance_cutoff
             pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
-        n = surface_normal(scene.objects, res.idx, pt)
-        face = shading(scene, cfg, res.idx, n, pt, eye, lev_i)
-        ks = scene.materials.specular.take(_gather_mat(scene, res.idx))
+        fields = gather_hit_fields(scene, res.idx)
+        n = surface_normal_from(fields, pt)
+        face = shading(scene, cfg, res.idx, fields, n, pt, eye, lev_i)
+        ks = fields.specular
 
         ret, fcs = _accumulate(ret, fcs, face, ks, active & hit, flags)
 
