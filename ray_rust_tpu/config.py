@@ -63,6 +63,19 @@ class RenderConfig:
     differentiable: bool = False
     march_budget: int = 512  # scan length in differentiable mode
 
+    # March steps executed per while_loop iteration (masked on done lanes):
+    # amortizes the loop's fixed per-iteration cost (cond reduce + HBM state
+    # roundtrip) at the price of up to chunk-1 wasted masked steps per lane.
+    march_chunk: int = 8
+
+    # Row-band tiling for march mode: the batched while_loop runs until its
+    # worst lane settles, and horizon-grazing rays need ~1500 sphere-tracing
+    # steps — banding the image confines that cost to the bands that contain
+    # such rays (lax.map runs bands sequentially, each exiting early). The
+    # TPU-native analogue of the reference's scanline work units. 1 = off;
+    # auto-disabled when yres isn't divisible.
+    march_tiles: int = 8
+
     # Background shader registry key (the reference's ``bgproc`` fn pointer,
     # render.rs:661, is never serialized — sky is always code).
     bg: str = "default_sky"

@@ -43,6 +43,7 @@ BIGNORE = 1 << 4
 F32_EPSILON = np.float32(np.finfo(np.float32).eps)  # f32::EPSILON (render.rs:460)
 
 _BIG = np.float32(np.inf)
+_UNROLL_MAX = 32
 
 
 def object_candidate_t(kind, org: Vec3, radius, normal: Vec3, vi: Vec3, eye: Vec3,
@@ -91,23 +92,38 @@ def raycast(scene: Scene, vi: Vec3, eye: Vec3, ig, flags):
     """
     objs = scene.objects
     n = objs.count
-    obj_index = jnp.arange(n, dtype=jnp.int32)
 
     t_init = jnp.full(vi.shape, _BIG, jnp.float32)
     idx_init = jnp.zeros(vi.shape, jnp.int32)
 
-    def step(carry, xs):
+    def one(i, kind, org, fnorm, radius, carry):
         t, idx = carry
-        i, kind, ox, oy, oz, radius, nx, ny, nz = xs
-        cand = object_candidate_t(
-            kind, Vec3(ox, oy, oz), radius, Vec3(nx, ny, nz), vi, eye, t, flags
-        )
+        cand = object_candidate_t(kind, org, radius, fnorm, vi, eye, t, flags)
         cand = jnp.where(i == ig, _BIG, cand)
         closer = cand < t
-        return (jnp.where(closer, cand, t), jnp.where(closer, i, idx)), None
+        return jnp.where(closer, cand, t), jnp.where(closer, i, idx)
+
+    # Small scenes: straight-line unroll -> one fused kernel, no per-object
+    # scan-step dispatch. Large scenes: sequential scan, O(H*W) memory.
+    if n <= _UNROLL_MAX:
+        carry = (t_init, idx_init)
+        for i in range(n):
+            carry = one(
+                jnp.int32(i),
+                objs.kind[i],
+                Vec3(objs.org.x[i], objs.org.y[i], objs.org.z[i]),
+                Vec3(objs.normal.x[i], objs.normal.y[i], objs.normal.z[i]),
+                objs.radius[i],
+                carry,
+            )
+        return carry
+
+    def step(carry, xs):
+        i, kind, ox, oy, oz, radius, nx, ny, nz = xs
+        return one(i, kind, Vec3(ox, oy, oz), Vec3(nx, ny, nz), radius, carry), None
 
     xs = (
-        obj_index,
+        jnp.arange(n, dtype=jnp.int32),
         objs.kind,
         objs.org.x,
         objs.org.y,

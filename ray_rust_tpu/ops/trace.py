@@ -57,7 +57,7 @@ def _gather_mat(scene: Scene, idx):
 
 
 def shading(scene: Scene, cfg: RenderConfig, idx, fields: HitFields, n: Vec3,
-            pt: Vec3, eye: Vec3, nest: int) -> Color:
+            pt: Vec3, eye: Vec3, nest: int, active=None) -> Color:
     """Lambert + Phong + shadow + texture + pseudo-refraction
     (render.rs:1020-1140). ``nest`` is static — the refraction recursion
     unrolls while ``nest < cfg.max_refractions``. ``fields`` carries the
@@ -81,7 +81,9 @@ def shading(scene: Scene, cfg: RenderConfig, idx, fields: HitFields, n: Vec3,
     # Shadow trace (render.rs:1048-1082)
     transparency_self = fields.transparency
     if cfg.use_raymarching:
-        res = march_single(scene, cfg, shadow_org, light.broadcast_to(pt.shape), idx)
+        res = march_single(
+            scene, cfg, shadow_org, light.broadcast_to(pt.shape), idx, active=active
+        )
         lit = (
             (res.travel_dist >= cfg.far_away)
             | (res.iter >= cfg.march_max_iter)
@@ -122,8 +124,12 @@ def shading(scene: Scene, cfg: RenderConfig, idx, fields: HitFields, n: Vec3,
         ray = (eye + Vec3(n.x * bend, n.y * bend, n.z * bend)).normalized()
         pt3 = pt + ray * F32_EPSILON
         sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
-        trace_fn = raymarch if cfg.use_raymarching else raytrace
-        fc2 = trace_fn(scene, cfg, pt3, ray, nest, idx, sub_flags)
+        sub_active = f > 0.0 if active is None else (f > 0.0) & active
+        if cfg.use_raymarching:
+            fc2 = raymarch(scene, cfg, pt3, ray, nest, idx, sub_flags,
+                           active0=sub_active)
+        else:
+            fc2 = raytrace(scene, cfg, pt3, ray, nest, idx, sub_flags)
         blended = Color(
             (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
             (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
@@ -214,7 +220,8 @@ def _raytrace_step(cfg: RenderConfig, lev_i: int):
             pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
         fields = gather_hit_fields(scene, idx)
         n = surface_normal_from(fields, pt)
-        face = shading(scene, cfg, idx, fields, n, pt, eye, lev_i)
+        face = shading(scene, cfg, idx, fields, n, pt, eye, lev_i,
+                       active=active & hit)
         ks = fields.specular
 
         ret, fcs = _accumulate(ret, fcs, face, ks, active & hit, flags)
@@ -244,23 +251,44 @@ def _raytrace_step(cfg: RenderConfig, lev_i: int):
 
 
 def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
-             ig, flags) -> Color:
+             ig, flags, active0=None) -> Color:
     """Unrolled march + reflect loop with glow post-multiply
     (render.rs:1299-1411). Loop cap is the reference's compile-time constant
-    (``cfg.raymarch_max_reflections``), independent of ``max_reflections``."""
+    (``cfg.raymarch_max_reflections``), independent of ``max_reflections``.
+
+    ``active0`` masks lanes that need tracing at all (refraction sub-traces
+    pass the transparent-lane mask). Within the loop, a lane's march is only
+    *recomputed* when its ray state changed (a reflection happened): a lane
+    that missed keeps re-adding the background each lap with unchanged state
+    (reference quirk, render.rs:1385-1391), so its cached march result is
+    reused instead of re-running the sphere-tracing loop — identical values,
+    none of the cost.
+    """
     shape = jnp.shape(eye.x)
     fcs = Color.full(1.0, 1.0, 1.0, shape)
     ret = Color.zero(shape)
-    active = jnp.ones(shape, bool)
+    active = (
+        jnp.ones(shape, bool)
+        if active0 is None
+        else jnp.broadcast_to(active0, shape)
+    )
     min_min_dist = jnp.full(shape, _INF, jnp.float32)
     pos = vi
     bg_fn = get_bg(cfg.bg)
 
+    need_march = active
+    res = None
     n_iters = max(1, cfg.raymarch_max_reflections - lev)
     for step in range(n_iters):
         lev_i = lev + 1 + step
 
-        res = march_single(scene, cfg, pos, eye, ig)
+        new_res = march_single(scene, cfg, pos, eye, ig, active=need_march)
+        if res is None:
+            res = new_res
+        else:
+            res = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(need_march, new, old), new_res, res
+            )
         min_min_dist = jnp.where(
             active & (res.min_dist < min_min_dist), res.min_dist, min_min_dist
         )
@@ -273,7 +301,8 @@ def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
             pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
         fields = gather_hit_fields(scene, res.idx)
         n = surface_normal_from(fields, pt)
-        face = shading(scene, cfg, res.idx, fields, n, pt, eye, lev_i)
+        face = shading(scene, cfg, res.idx, fields, n, pt, eye, lev_i,
+                       active=active & hit)
         ks = fields.specular
 
         ret, fcs = _accumulate(ret, fcs, face, ks, active & hit, flags)
@@ -299,6 +328,7 @@ def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
         upd = active & cont_hit
         pos, eye, flags, ig = _reflect_update(pos, eye, flags, ig, pt, n, res.idx, upd)
         active = cont
+        need_march = upd  # only reflected lanes have new state to march
 
     if cfg.glow_effect is not None:
         g = jnp.float32(cfg.glow_effect)
@@ -313,9 +343,35 @@ def raymarch(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3, lev: int,
 
 def trace_image(scene: Scene, cfg: RenderConfig, vi: Vec3, eye: Vec3) -> Color:
     """Entry: trace a full ray grid from scratch (lev 0, no ignore, no flags —
-    render.rs:820-824)."""
+    render.rs:820-824). March mode optionally runs in sequential row bands
+    (``cfg.march_tiles``) so each band's sphere-tracing loop exits at its own
+    worst lane."""
     shape = jnp.shape(eye.x)
     ig = jnp.full(shape, -1, jnp.int32)
     flags = jnp.zeros(shape, jnp.int32)
-    fn = raymarch if cfg.use_raymarching else raytrace
-    return fn(scene, cfg, vi, eye, 0, ig, flags)
+    if not cfg.use_raymarching:
+        return raytrace(scene, cfg, vi, eye, 0, ig, flags)
+
+    tiles = cfg.march_tiles
+    if tiles > 1 and len(shape) == 2 and shape[0] % tiles == 0:
+        h, w = shape
+        bh = h // tiles
+
+        def to_bands(a):
+            return a.reshape(tiles, bh, w)
+
+        bands = (
+            Vec3(*(to_bands(c) for c in vi)),
+            Vec3(*(to_bands(c) for c in eye)),
+        )
+
+        def band_fn(band):
+            vi_b, eye_b = band
+            ig_b = jnp.full((bh, w), -1, jnp.int32)
+            flags_b = jnp.zeros((bh, w), jnp.int32)
+            return raymarch(scene, cfg, vi_b, eye_b, 0, ig_b, flags_b)
+
+        out = jax.lax.map(band_fn, bands)
+        return Color(*(c.reshape(h, w) for c in out))
+
+    return raymarch(scene, cfg, vi, eye, 0, ig, flags)
