@@ -80,6 +80,14 @@ class RenderConfig:
     # render.rs:661, is never serialized — sky is always code).
     bg: str = "default_sky"
 
+    # Fused Pallas trace kernel (ops/pallas_trace.py). When True and the
+    # scene/config is in the kernel's support (ray-trace mode, no image
+    # textures), the forward runs as one VMEM-resident kernel over row tiles;
+    # gradients route through the jnp path via custom_vjp. pallas_rows is the
+    # tile height (sublane-aligned multiples of 8).
+    use_pallas: bool = False
+    pallas_rows: int = 8
+
     # Rematerialize each bounce step in the backward pass (recompute instead
     # of storing every (H, W) intermediate — the unrolled trace is otherwise
     # residual-bound on HBM traffic).

@@ -1,0 +1,465 @@
+"""Fused Pallas TPU kernel for the Whitted trace forward pass.
+
+This is SURVEY.md §7 stage 6: the "native hot-path equivalent" of the
+reference's render core (src/render.rs:801-1224). The whole per-pixel program —
+camera-ray generation (render.rs:808-815), the unrolled reflection loop
+(render.rs:1142-1224), shading with shadow rays (render.rs:1020-1090), the
+pseudo-refraction subtree (render.rs:1093-1132), procedural patterns
+(render.rs:301-314) and the sky (src/main.rs:231-260) — runs inside ONE Pallas
+kernel over row tiles. Nothing but the final RGB tile ever touches HBM: the
+jnp path materializes (H, W) intermediates at every XLA fusion boundary
+(notably around the per-bounce one-hot gathers), while here every bounce's
+state lives in VMEM/registers for the lifetime of the tile.
+
+Scene scalars (object table, per-object material rows, camera pose, light)
+ride in SMEM — they are a few hundred bytes and every lane reads the same
+values, exactly the role SMEM exists for. Per-hit property fetch is an
+unrolled compare-select over the object axis (N is a static Python int),
+replacing both the reference's pointer chase (render.rs:1021) and the jnp
+path's one-hot MXU contraction (ops/gather.py).
+
+Scope (checked by :func:`pallas_supported`): ray-trace mode without image
+textures. Procedural patterns are fully supported; march mode and texture
+atlas gathers stay on the jnp path (ops/march.py, ops/texture.py), which also
+remains the autodiff path — :func:`render_color_fast` pairs this forward
+kernel with the jnp path's VJP via ``jax.custom_vjp`` (the backward
+re-traces, i.e. whole-program rematerialization: zero forward residuals).
+
+The jnp path (ops/trace.py) is the correctness oracle; tests/test_pallas.py
+compares the two pixel-for-pixel (interpret mode on CPU, compiled on TPU).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..config import RenderConfig
+from ..models.material import PATTERN_CHECKERBOARD, PATTERN_GRADATION
+from ..models.scene import KIND_SPHERE, Scene
+from ..models.vec import Color, Vec3
+from ..utils.modutil import fmod
+from .gather import HitFields
+from .intersect import F32_EPSILON, INONLY, OUTONLY, object_candidate_t
+from .sky import get_bg
+from .texture import get_uv
+from .trace import _accumulate, _reflect_update
+
+__all__ = ["pallas_supported", "render_color_pallas", "render_color_fast"]
+
+_BIG = np.float32(np.inf)
+
+# f32 table column layout (one row per object; material fields pre-joined
+# through the object->material indirection at pack time)
+_F32_COLS = 18  # org xyz, normal xyz, diffuse rgb, specular rgb, pn, t, n,
+#                 pattern_scale, pattern_angle_scale, radius
+_I32_COLS = 4  # kind, pattern, uvmap, pad
+
+
+def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
+    """The fused kernel covers the ray-trace mode without image textures."""
+    if cfg.use_raymarching:
+        return False
+    if scene.textures is not None:
+        # Texture atlas gathers stay on the jnp path.
+        import numpy as _np
+
+        tex_ids = _np.asarray(scene.textures.widths)
+        if tex_ids.size and _np.asarray(scene.materials.texture_id).max() >= 0:
+            return False
+    return scene.objects.count <= 64
+
+
+def _pack_scene(scene: Scene):
+    """Flatten the scene pytree into the kernel's SMEM tables.
+
+    Differentiable: every f32 entry is a traced function of scene leaves, so
+    ``jax.vjp`` through the pack composes (used only for shape plumbing here —
+    the actual backward goes through the jnp path)."""
+    objs, mats = scene.objects, scene.materials
+    m = objs.mat
+
+    def mt(field):
+        return jnp.take(field, m)
+
+    f32t = jnp.stack(
+        [
+            objs.org.x, objs.org.y, objs.org.z,
+            objs.normal.x, objs.normal.y, objs.normal.z,
+            mt(mats.diffuse.r), mt(mats.diffuse.g), mt(mats.diffuse.b),
+            mt(mats.specular.r), mt(mats.specular.g), mt(mats.specular.b),
+            mt(mats.pn), mt(mats.transparency), mt(mats.refraction),
+            mt(mats.pattern_scale), mt(mats.pattern_angle_scale),
+            objs.radius,
+        ],
+        axis=1,
+    ).astype(jnp.float32)  # (N, 18)
+
+    i32t = jnp.stack(
+        [
+            objs.kind,
+            jnp.take(mats.pattern, m),
+            objs.uvmap,
+            jnp.zeros_like(objs.kind),
+        ],
+        axis=1,
+    ).astype(jnp.int32)  # (N, 4)
+
+    cam = jnp.stack(
+        [
+            scene.camera.position.x, scene.camera.position.y,
+            scene.camera.position.z,
+            scene.camera.rotation.x, scene.camera.rotation.y,
+            scene.camera.rotation.z, scene.camera.rotation.w,
+            jnp.float32(0.0),
+        ]
+    ).astype(jnp.float32).reshape(1, 8)
+
+    light = jnp.stack(
+        [scene.light.x, scene.light.y, scene.light.z, jnp.float32(0.0)]
+    ).astype(jnp.float32).reshape(1, 4)
+
+    return f32t, i32t, cam, light
+
+
+class _KernelScene:
+    """Per-object scalars read once from SMEM + scene-free trace helpers.
+
+    ``objs[i]`` is a dict of rank-0 jnp values; all "gathers" are unrolled
+    compare-selects over the static object count."""
+
+    def __init__(self, f32_ref, i32_ref, light_ref, n_objects: int):
+        self.n = n_objects
+        self.light = Vec3(light_ref[0, 0], light_ref[0, 1], light_ref[0, 2])
+        self.objs = []
+        for i in range(n_objects):
+            f = [f32_ref[i, c] for c in range(_F32_COLS)]
+            self.objs.append(
+                dict(
+                    org=Vec3(f[0], f[1], f[2]),
+                    normal=Vec3(f[3], f[4], f[5]),
+                    diffuse=Color(f[6], f[7], f[8]),
+                    specular=Color(f[9], f[10], f[11]),
+                    pn=f[12],
+                    transparency=f[13],
+                    refraction=f[14],
+                    pattern_scale=f[15],
+                    pattern_angle_scale=f[16],
+                    radius=f[17],
+                    kind=i32_ref[i, 0],
+                    pattern=i32_ref[i, 1],
+                    uvmap=i32_ref[i, 2],
+                )
+            )
+
+    # -- nearest hit (render.rs:993-1018), unrolled over objects -------------
+    def raycast(self, vi: Vec3, eye: Vec3, ig, flags):
+        t = jnp.full(vi.shape, _BIG, jnp.float32)
+        idx = jnp.zeros(vi.shape, jnp.int32)
+        for i, o in enumerate(self.objs):
+            cand = object_candidate_t(
+                o["kind"], o["org"], o["radius"], o["normal"], vi, eye, t, flags
+            )
+            cand = jnp.where(jnp.int32(i) == ig, _BIG, cand)
+            closer = cand < t
+            t = jnp.where(closer, cand, t)
+            idx = jnp.where(closer, jnp.int32(i), idx)
+        return t, idx
+
+    # -- per-hit field fetch: unrolled select (replaces ops/gather.py) -------
+    def gather(self, idx) -> HitFields:
+        def sel(key):
+            out = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, jnp.shape(idx)), self.objs[0][key]
+            )
+            for i in range(1, self.n):
+                out = jax.tree_util.tree_map(
+                    lambda cur, new: jnp.where(idx == jnp.int32(i), new, cur),
+                    out,
+                    self.objs[i][key],
+                )
+            return out
+
+        zero_i = jnp.zeros(jnp.shape(idx), jnp.int32)
+        return HitFields(
+            kind=sel("kind"),
+            uvmap=sel("uvmap"),
+            mat_id=zero_i,
+            pattern=sel("pattern"),
+            texture_id=zero_i - 1,
+            texture_filter=zero_i,
+            org=sel("org"),
+            normal=sel("normal"),
+            diffuse=sel("diffuse"),
+            specular=sel("specular"),
+            pn=sel("pn"),
+            transparency=sel("transparency"),
+            refraction=sel("refraction"),
+            pattern_scale=sel("pattern_scale"),
+            pattern_angle_scale=sel("pattern_angle_scale"),
+        )
+
+    def normal_at(self, fields: HitFields, pt: Vec3) -> Vec3:
+        sphere_n = (pt - fields.org).normalized()
+        return sphere_n.where(fields.kind == KIND_SPHERE, fields.normal)
+
+
+def _pattern_diffuse(fields: HitFields, uv) -> Color:
+    """Procedural-pattern diffuse (render.rs:301-314) — the texture-free slice
+    of ops/texture.py:lookup_diffuse."""
+    u, v = uv
+    diffuse = fields.diffuse
+    pattern = fields.pattern
+
+    ix = jnp.floor(u).astype(jnp.int32)
+    iy = jnp.floor(v).astype(jnp.int32)
+    checker_black = (pattern == PATTERN_CHECKERBOARD) & (jnp.mod(ix + iy, 2) == 0)
+    col = Color(
+        jnp.where(checker_black, 0.0, diffuse.r),
+        jnp.where(checker_black, 0.0, diffuse.g),
+        jnp.where(checker_black, 0.0, diffuse.b),
+    )
+    grad = Color(diffuse.r * fmod(u, 1.0), diffuse.g * fmod(v, 1.0), diffuse.b)
+    return grad.where(pattern == PATTERN_GRADATION, col)
+
+
+def _powf(base, exponent):
+    """``powf`` for positive base as exp/log (Mosaic-safe array-exponent pow);
+    callers guard base > 0."""
+    return jnp.exp(exponent * jnp.log(base))
+
+
+def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
+             n: Vec3, pt: Vec3, eye: Vec3, nest: int) -> Color:
+    """Kernel-side shading (render.rs:1020-1140): Lambert + Phong + shadow +
+    pattern + pseudo-refraction. Mirrors ops/trace.py:shading minus march mode
+    and image textures."""
+    light = ks.light
+
+    light_incidence = light.dot(n)
+    ln2 = 2.0 * light_incidence
+    reflected_to_light = Vec3(n.x * ln2, n.y * ln2, n.z * ln2) - light
+    diffuse_intensity = jnp.maximum(light_incidence, 0.0)
+    shadow_org = pt + light * F32_EPSILON
+    pn = fields.pn
+    refl_incidence = -reflected_to_light.dot(eye)
+    ri_safe = jnp.where(refl_incidence > 0.0, refl_incidence, 1.0)
+    reflection_intensity = jnp.where(
+        (pn != 0.0) & (refl_incidence > 0.0), _powf(ri_safe, pn), 0.0
+    )
+
+    zero_flags = jnp.zeros(jnp.shape(pt.x), jnp.int32)
+    t_s, i_s = ks.raycast(shadow_org, light.broadcast_to(pt.shape), idx, zero_flags)
+    blocker = ks.gather(i_s)
+    lit = ~jnp.isfinite(t_s) | (blocker.transparency > 0.0)
+
+    k1 = jnp.where(lit, jnp.minimum(0.2 + diffuse_intensity, 1.0), 0.2)
+    k2 = jnp.where(lit, reflection_intensity, 0.0)
+
+    uv = get_uv(pt - fields.org, fields.uvmap, fields.pattern_scale,
+                fields.pattern_angle_scale)
+    kd = _pattern_diffuse(fields, uv)
+
+    base = Color(kd.r * k1 + k2, kd.g * k1 + k2, kd.b * k1 + k2)
+
+    unroll_cap = cfg.max_refractions
+    if cfg.refraction_unroll is not None:
+        unroll_cap = min(unroll_cap, cfg.refraction_unroll)
+    if nest < unroll_cap:
+        transparency_self = fields.transparency
+        sp = eye.dot(n)
+        f = transparency_self
+        fracn = fields.refraction
+        fracn_safe = jnp.where((f > 0.0) & (jnp.abs(fracn) > 1e-6), fracn, 1.0)
+        bend = sp * (jnp.where(sp > 0.0, fracn_safe, 1.0 / fracn_safe) - 1.0)
+        ray = (eye + Vec3(n.x * bend, n.y * bend, n.z * bend)).normalized()
+        pt3 = pt + ray * F32_EPSILON
+        sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
+        fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags)
+        blended = Color(
+            (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
+            (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
+            (kd.b * k1 + k2) * (1.0 - f) + fc2.b * f,
+        )
+        return blended.where(f > 0.0, base)
+    return base
+
+
+def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
+              lev: int, ig, flags) -> Color:
+    """Kernel-side unrolled Whitted loop (render.rs:1142-1224); mirrors
+    ops/trace.py:raytrace step-for-step (same terminations, same IGNORE
+    guards, same miss semantics)."""
+    shape = jnp.shape(eye.x)
+    fcs = Color.full(1.0, 1.0, 1.0, shape)
+    ret = Color.zero(shape)
+    active = jnp.ones(shape, bool)
+    bg_fn = get_bg(cfg.bg)
+
+    n_iters = max(1, cfg.max_reflections - lev)
+    for step in range(n_iters):
+        lev_i = lev + 1 + step
+
+        t, idx = ks.raycast(vi, eye, ig, flags)
+        hit = jnp.isfinite(t)
+        t_safe = jnp.where(hit, t, 0.0)
+        pt = vi + eye * t_safe
+        fields = ks.gather(idx)
+        n = ks.normal_at(fields, pt)
+        face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i)
+        ret, fcs = _accumulate(ret, fcs, face, fields.specular, active & hit, flags)
+
+        miss = active & ~hit
+        bg = bg_fn(ks.light, eye)
+        ret = Color(
+            ret.r + jnp.where(miss, bg.r * fcs.r, 0.0),
+            ret.g + jnp.where(miss, bg.g * fcs.g, 0.0),
+            ret.b + jnp.where(miss, bg.b * fcs.b, 0.0),
+        )
+
+        cont = (
+            active & hit & (idx != 0)
+            & (fcs.sum() > 0.1)
+            & (lev_i < cfg.max_reflections)
+        )
+        vi, eye, flags, ig = _reflect_update(vi, eye, flags, ig, pt, n, idx, cont)
+        active = cont
+
+    return ret
+
+
+def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
+    """Kernel body: generate this tile's camera rays (render.rs:808-815) and
+    trace them to completion without leaving VMEM."""
+    xres, yres = cfg.xres, cfg.yres
+    xfov = np.float32(cfg.xfov)
+    yfov = np.float32(cfg.resolved_yfov())
+
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
+        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
+
+        row0 = pl.program_id(0) * tile_rows
+        ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+        iy = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
+
+        ex = jnp.ones((tile_rows, width), jnp.float32)
+        ey = (ix - xres // 2).astype(jnp.float32) * (2.0 * xfov) / np.float32(xres)
+        ez = -(iy - yres // 2).astype(jnp.float32) * (2.0 * yfov) / np.float32(yres)
+
+        # Quaternion rotation q * (v,0) * conj(q) (quat.rs:74-80), with the
+        # camera quat as SMEM scalars.
+        qx, qy, qz, qw = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5], cam_ref[0, 6])
+        # q * (v, 0)
+        rx = qy * ez - qz * ey + qw * ex
+        ry = qz * ex - qx * ez + qw * ey
+        rz = qx * ey - qy * ex + qw * ez
+        rw = -qx * ex - qy * ey - qz * ez
+        # (...) * conj(q)
+        vx = ry * (-qz) - rz * (-qy) + rx * qw + rw * (-qx)
+        vy = rz * (-qx) - rx * (-qz) + ry * qw + rw * (-qy)
+        vz = rx * (-qy) - ry * (-qx) + rz * qw + rw * (-qz)
+        eye = Vec3(vx, vy, vz).normalized()
+
+        vi = Vec3(
+            jnp.full((tile_rows, width), cam_ref[0, 0]),
+            jnp.full((tile_rows, width), cam_ref[0, 1]),
+            jnp.full((tile_rows, width), cam_ref[0, 2]),
+        )
+
+        ig = jnp.full((tile_rows, width), -1, jnp.int32)
+        flags = jnp.zeros((tile_rows, width), jnp.int32)
+        out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
+
+        r_ref[:] = out.r
+        g_ref[:] = out.g
+        b_ref[:] = out.b
+
+    return kernel
+
+
+def render_color_pallas(scene: Scene, cfg: RenderConfig,
+                        interpret: bool | None = None) -> Color:
+    """Forward render through the fused Pallas kernel. Not differentiable —
+    use :func:`render_color_fast` for the custom-VJP pairing.
+
+    ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
+    (the Mosaic compiler only targets TPU; interpret mode keeps the whole
+    path testable on the CPU backend)."""
+    if not pallas_supported(scene, cfg):
+        raise ValueError("scene/config outside the fused kernel's support "
+                         "(march mode or image textures); use the jnp path")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    h, w = cfg.yres, cfg.xres
+    tile_rows = cfg.pallas_rows
+    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    n = scene.objects.count
+
+    f32t, i32t, cam, light = _pack_scene(scene)
+    kernel = _make_kernel(cfg, n, tile_rows, w)
+
+    out_shape = jax.ShapeDtypeStruct((h_pad, w), jnp.float32)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    r, g, b = pl.pallas_call(
+        kernel,
+        grid=(h_pad // tile_rows,),
+        in_specs=[smem(), smem(), smem(), smem()],
+        out_specs=tuple(
+            pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ),
+        out_shape=(out_shape,) * 3,
+        interpret=interpret,
+    )(f32t, i32t, cam, light)
+
+    if h_pad != h:
+        r, g, b = r[:h], g[:h], b[:h]
+    return Color(r, g, b)
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_fn(cfg: RenderConfig):
+    """custom_vjp pairing: Pallas forward, jnp-path backward. The backward
+    re-renders under ``jax.vjp`` — whole-program remat, zero saved residuals
+    beyond the scene itself."""
+    from .rays import camera_rays
+    from .trace import trace_image
+
+    def jnp_forward(scene):
+        vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, cfg)
+        return trace_image(scene, cfg, vi, eye)
+
+    @jax.custom_vjp
+    def f(scene):
+        return render_color_pallas(scene, cfg)
+
+    def fwd(scene):
+        return render_color_pallas(scene, cfg), scene
+
+    def bwd(scene, g):
+        _, vjp = jax.vjp(jnp_forward, scene)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+def render_color_fast(scene: Scene, cfg: RenderConfig) -> Color:
+    """Differentiable render with the fused Pallas forward kernel and the jnp
+    path's VJP. Falls back to the jnp path when the kernel doesn't cover the
+    scene/config (march mode, image textures)."""
+    if pallas_supported(scene, cfg):
+        return _fast_fn(cfg)(scene)
+    from .rays import camera_rays
+    from .trace import trace_image
+
+    vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, cfg)
+    return trace_image(scene, cfg, vi, eye)

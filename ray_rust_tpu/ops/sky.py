@@ -13,6 +13,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..models.vec import Color, Vec3
+from ..utils.fastmath import asin, atan2
 from ..utils.modutil import rust_rem
 
 __all__ = ["default_sky", "black_bg", "get_bg", "BACKGROUNDS"]
@@ -26,8 +27,10 @@ def default_sky(light: Vec3, direction: Vec3) -> Color:
     ``light`` is the normalized scene light direction; ``direction`` the
     (normalized) ray direction. Fully branch-free.
     """
-    phi = jnp.arctan2(direction.z, direction.x)
-    the = jnp.arcsin(jnp.clip(direction.y, -1.0, 1.0))
+    # Mosaic-lowerable inverse trig (utils/fastmath.py) — shared by the jnp
+    # and Pallas paths so both stay numerically aligned.
+    phi = atan2(direction.z, direction.x)
+    the = asin(jnp.clip(direction.y, -1.0, 1.0))
     # Rust `%` is a truncated remainder; arguments here are always positive so
     # it coincides with floor-mod, but rust_rem keeps exact semantics.
     d = rust_rem(50.0 * _PI + phi * 10.0 * _PI, 2.0 * _PI) - _PI

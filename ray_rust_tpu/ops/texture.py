@@ -21,6 +21,7 @@ from ..models.material import (
 )
 from ..models.scene import Scene
 from ..models.vec import Color, Vec3
+from ..utils.fastmath import atan2
 from ..utils.modutil import fimod, fmod, imod, umod
 
 __all__ = ["get_uv", "lookup_diffuse"]
@@ -36,9 +37,10 @@ def get_uv(rel: Vec3, uvmap, pattern_scale, pattern_angle_scale):
     v = jnp.where(uvmap == UVMAP_YZ, rel.z / ps, v)
     u = jnp.where(uvmap == UVMAP_ZX, rel.z / ps, u)
     v = jnp.where(uvmap == UVMAP_ZX, rel.x / ps, v)
-    # Lat-long projection (render.rs:225-232)
-    u_ll = jnp.arctan2(rel.z, rel.x) / pattern_angle_scale
-    v_ll = jnp.arctan2(jnp.sqrt(rel.x * rel.x + rel.z * rel.z), rel.y) / pattern_angle_scale
+    # Lat-long projection (render.rs:225-232); atan2 via utils/fastmath so the
+    # same code lowers under Mosaic in the fused Pallas kernel.
+    u_ll = atan2(rel.z, rel.x) / pattern_angle_scale
+    v_ll = atan2(jnp.sqrt(rel.x * rel.x + rel.z * rel.z), rel.y) / pattern_angle_scale
     u = jnp.where(uvmap == UVMAP_LL, u_ll, u)
     v = jnp.where(uvmap == UVMAP_LL, v_ll, v)
     return u, v

@@ -28,8 +28,14 @@ def render_color(scene: Scene, cfg: RenderConfig) -> Color:
     """Pure forward render: scene pytree -> Color of (H, W) components.
 
     Differentiable w.r.t. every continuous leaf of ``scene`` (use
-    ``cfg.differentiable=True`` for march mode).
+    ``cfg.differentiable=True`` for march mode). With ``cfg.use_pallas`` the
+    forward runs through the fused Pallas kernel (ops/pallas_trace.py) when
+    supported, with gradients routed through the jnp path.
     """
+    if cfg.use_pallas:
+        from .ops.pallas_trace import render_color_fast
+
+        return render_color_fast(scene, cfg)
     vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, cfg)
     return trace_image(scene, cfg, vi, eye)
 

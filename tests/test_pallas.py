@@ -1,0 +1,109 @@
+"""Fused Pallas trace kernel vs the jnp path (its correctness oracle).
+
+Runs in Pallas interpret mode on the CPU backend. Bit-parity between the two
+compilation paths is impossible (different op fusion/rounding), so knife-edge
+pixels (floor horizon, sphere silhouettes) may flip — the comparison uses the
+same outlier-budget scheme as the Rust-oracle parity tests.
+"""
+
+import numpy as np
+import pytest
+
+import ray_rust_tpu as rt
+from ray_rust_tpu.ops.pallas_trace import (
+    pallas_supported,
+    render_color_pallas,
+)
+from ray_rust_tpu.renderer import render, render_color
+
+
+def _img_np(col):
+    return np.stack([np.asarray(col.r), np.asarray(col.g), np.asarray(col.b)], -1)
+
+
+def _compare(ref, got, frac_budget=0.05, tol=1e-3, mean_tol=0.02):
+    diff = np.abs(got - ref)
+    bad_frac = (diff.max(-1) > tol).mean()
+    assert bad_frac <= frac_budget, (
+        f"{bad_frac:.1%} pixels differ > {tol} (budget {frac_budget:.0%}); "
+        f"mean {diff.mean():.4f} max {diff.max():.3f}"
+    )
+    assert diff.mean() <= mean_tol, f"mean diff {diff.mean():.4f} > {mean_tol}"
+
+
+def test_pallas_default_scene_matches_jnp():
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=64, yres=48, max_reflections=2, refraction_unroll=2)
+    assert pallas_supported(scene, cfg)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    _compare(ref, got)
+
+
+def test_pallas_row_padding():
+    """yres not divisible by the tile height exercises the pad+slice path."""
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=32, yres=21, max_reflections=1,
+                          refraction_unroll=1, pallas_rows=8)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    assert got.shape == ref.shape
+    # tiny image: the singular horizon band is a larger pixel fraction
+    _compare(ref, got, frac_budget=0.08)
+
+
+def test_pallas_rejects_march_mode():
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=32, yres=24, use_raymarching=True)
+    assert not pallas_supported(scene, cfg)
+    with pytest.raises(ValueError):
+        render_color_pallas(scene, cfg, interpret=True)
+
+
+def test_pallas_patterns_checkerboard():
+    """Checkerboard + solid materials (non-default pattern path)."""
+    mats = [
+        rt.MaterialSpec(name="checker", diffuse=(0.9, 0.9, 0.9), pn=0,
+                        pattern=1, pattern_scale=50.0),
+        rt.MaterialSpec(name="blue", diffuse=(0.1, 0.2, 0.9),
+                        specular=(0.2, 0.2, 0.2), pn=8),
+    ]
+    objs = [
+        rt.FloorSpec("checker", (0.0, -100.0, 0.0), (0.0, 1.0, 0.0), uvmap=2),
+        rt.SphereSpec("blue", 60.0, (0.0, -40.0, 200.0)),
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, 0.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cfg = rt.RenderConfig(xres=48, yres=32, max_reflections=2, refraction_unroll=1)
+    # Far-field checker cells are sub-pixel: a 1-ulp ray change flips them
+    # outright (the jnp path disagrees with ITSELF across jit/eager on ~9% of
+    # pixels here). Compare compiled-vs-compiled with a matching budget.
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    _compare(ref, got, frac_budget=0.08, mean_tol=0.04)
+
+
+def test_fast_path_gradients_route_through_jnp():
+    """render_color_fast must be differentiable; grads equal the jnp path's
+    (custom_vjp: Pallas forward — interpreted on CPU — jnp-path backward)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.ops.pallas_trace import render_color_fast
+
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=16, yres=8, max_reflections=1, refraction_unroll=1)
+
+    def loss(light_y, render_fn):
+        s = scene._replace(light=scene.light._replace(y=light_y))
+        img = render_fn(s, cfg)
+        return jnp.sum(img.r)
+
+    def render_jnp(s, c):
+        return render_color(s, c)
+
+    g_ref = jax.grad(lambda ly: loss(ly, render_jnp))(jnp.float32(0.6))
+    g_fast = jax.grad(lambda ly: loss(ly, render_color_fast))(jnp.float32(0.6))
+    assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
