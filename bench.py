@@ -93,6 +93,37 @@ def main():
     fwd_mrays = rays / fwd_amort / 1e6
     log(f"fwd 1080p amortized: {fwd_amort*1e3:.2f} ms -> {fwd_mrays:.1f} Mrays/s primary")
 
+    # ---- forward via the fused Pallas kernel (ops/pallas_trace.py) ----
+    pallas_mrays = None
+    try:
+        from ray_rust_tpu.ops.pallas_trace import (
+            pallas_supported,
+            render_color_pallas,
+        )
+
+        if pallas_supported(scene, cfg):
+            def pallas_chain(s):
+                def body(acc, dx):
+                    cam = s.camera
+                    s2 = s._replace(camera=cam._replace(
+                        position=cam.position._replace(x=cam.position.x + dx)))
+                    return acc + scalar(render_color_pallas(s2, cfg)), None
+
+                acc, _ = jax.lax.scan(
+                    body, jnp.float32(0.0),
+                    jnp.arange(CHAIN, dtype=jnp.float32) * 1e-3)
+                return acc
+
+            pc = jax.jit(pallas_chain)
+            p_t = timed(pc, scene, iters=3, what="fwd-pallas-chain") / CHAIN
+            pallas_mrays = rays / p_t / 1e6
+            log(f"fwd 1080p pallas amortized: {p_t*1e3:.2f} ms -> "
+                f"{pallas_mrays:.1f} Mrays/s primary")
+            if pallas_mrays > fwd_mrays:
+                fwd_amort, fwd_mrays = p_t, pallas_mrays
+    except Exception as e:  # supplementary only
+        log(f"pallas bench failed: {e}")
+
     # ---- forward+backward (scene-parameter gradients) ----
     img0 = jax.jit(lambda s: render_color(s, cfg))(scene)
     target = jnp.stack([img0.r, img0.g, img0.b], -1) + 0.05
@@ -130,6 +161,8 @@ def main():
         "fwd_amortized_mrays": round(fwd_mrays, 2),
         "fwd_bwd_ms": round(fb_t * 1e3, 3),
     }
+    if pallas_mrays is not None:
+        extra["fwd_pallas_mrays"] = round(pallas_mrays, 2)
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
     print(

@@ -98,11 +98,19 @@ def main(argv=None) -> int:
     start = time.time()
     if meta.camera_motion:
         from .animation import render_frames
+        from .utils.native import FrameWriter
 
-        def frame_proc(i, data):
-            save_png(f"{args.output}{i}.png", data)
+        # Frames are PNG-encoded + written by the native pthread pool while
+        # the TPU renders the next one (utils/native.py; falls back to
+        # synchronous PIL writes without the native toolchain).
+        with FrameWriter(n_threads=max(1, args.threads // 2)) as writer:
+            def frame_proc(i, data):
+                writer.submit(f"{args.output}{i}.png", data)
 
-        render_frames(scene, meta, cfg, frame_proc)
+            render_frames(scene, meta, cfg, frame_proc)
+            errors = writer.drain()
+            if errors:
+                print(f"frame writer: {errors} failed writes", file=sys.stderr)
     else:
         img = render_u8(scene, cfg)
         save_png(args.output, img)
