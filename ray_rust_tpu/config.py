@@ -87,6 +87,12 @@ class RenderConfig:
     # tile height (sublane-aligned multiples of 8).
     use_pallas: bool = False
     pallas_rows: int = 8
+    # Backward pass as a second fused Pallas kernel (ops/pallas_trace.py:
+    # the tile-level trace function is differentiated at trace time with
+    # jax.vjp, so the whole backward — re-trace + reverse sweep + per-tile
+    # scene-gradient reduction — runs in VMEM; per-tile partials are summed
+    # on the way out). False routes gradients through the jnp path.
+    pallas_bwd: bool = False
 
     # Rematerialize each bounce step in the backward pass (recompute instead
     # of storing every (H, W) intermediate — the unrolled trace is otherwise

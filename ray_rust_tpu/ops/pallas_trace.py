@@ -57,8 +57,8 @@ _BIG = np.float32(np.inf)
 
 # f32 table column layout (one row per object; material fields pre-joined
 # through the object->material indirection at pack time)
-_F32_COLS = 18  # org xyz, normal xyz, diffuse rgb, specular rgb, pn, t, n,
-#                 pattern_scale, pattern_angle_scale, radius
+_F32_COLS = 19  # org xyz, normal xyz, diffuse rgb, specular rgb, pn, t, n,
+#                 pattern_scale, pattern_angle_scale, radius, glow_dist
 _I32_COLS = 4  # kind, pattern, uvmap, pad
 
 
@@ -97,9 +97,10 @@ def _pack_scene(scene: Scene):
             mt(mats.pn), mt(mats.transparency), mt(mats.refraction),
             mt(mats.pattern_scale), mt(mats.pattern_angle_scale),
             objs.radius,
+            mt(mats.glow_dist),
         ],
         axis=1,
-    ).astype(jnp.float32)  # (N, 18)
+    ).astype(jnp.float32)  # (N, 19)
 
     i32t = jnp.stack(
         [
@@ -152,6 +153,7 @@ class _KernelScene:
                     pattern_scale=f[15],
                     pattern_angle_scale=f[16],
                     radius=f[17],
+                    glow_dist=f[18],
                     kind=i32_ref[i, 0],
                     pattern=i32_ref[i, 1],
                     uvmap=i32_ref[i, 2],
@@ -208,6 +210,30 @@ class _KernelScene:
     def normal_at(self, fields: HitFields, pt: Vec3) -> Vec3:
         sphere_n = (pt - fields.org).normalized()
         return sphere_n.where(fields.kind == KIND_SPHERE, fields.normal)
+
+    # -- scene SDF + glow metric (render.rs:1226-1251), unrolled -------------
+    def distance_estimate(self, pos: Vec3, ig):
+        """Mirrors ops/march.py:distance_estimate over the SMEM object table."""
+        closest = jnp.full(pos.shape, _BIG, jnp.float32)
+        idx = jnp.zeros(pos.shape, jnp.int32)
+        glowing = jnp.full(pos.shape, _BIG, jnp.float32)
+        for i, o in enumerate(self.objs):
+            delta = o["org"] - pos
+            sq = delta.squared_len()
+            length = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+            d_sphere = jnp.maximum(
+                jnp.where(sq > 0, length, 0.0) - o["radius"], 0.0
+            )
+            d_floor = jnp.maximum((pos - o["org"]).dot(o["normal"]), 0.0)
+            dist = jnp.where(o["kind"] == KIND_SPHERE, d_sphere, d_floor)
+            skip = jnp.int32(i) == ig
+            closer = ~skip & (dist < closest)
+            closest = jnp.where(closer, dist, closest)
+            idx = jnp.where(closer, jnp.int32(i), idx)
+            glow = dist * o["glow_dist"]
+            gupd = ~skip & (glow > 0.0) & (glow < glowing)
+            glowing = jnp.where(gupd, glow, glowing)
+        return closest, idx, glowing
 
 
 def _pattern_diffuse(fields: HitFields, uv) -> Color:
@@ -310,6 +336,11 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
         hit = jnp.isfinite(t)
         t_safe = jnp.where(hit, t, 0.0)
         pt = vi + eye * t_safe
+        if cfg.grad_distance_cutoff is not None:
+            # backward hygiene, same as ops/trace.py:_raytrace_step: knife-edge
+            # horizon hits are constants in the backward (forward no-op)
+            near = t_safe < cfg.grad_distance_cutoff
+            pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
         fields = ks.gather(idx)
         n = ks.normal_at(fields, pt)
         face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i)
@@ -334,43 +365,50 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     return ret
 
 
-def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
-    """Kernel body: generate this tile's camera rays (render.rs:808-815) and
-    trace them to completion without leaving VMEM."""
+def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int):
+    """This tile's camera rays (render.rs:808-815): pixel grid offset by the
+    program's row tile, rotated by the camera quaternion from SMEM scalars."""
     xres, yres = cfg.xres, cfg.yres
     xfov = np.float32(cfg.xfov)
     yfov = np.float32(cfg.resolved_yfov())
 
+    row0 = pl.program_id(0) * tile_rows
+    ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+    iy = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
+
+    ex = jnp.ones((tile_rows, width), jnp.float32)
+    ey = (ix - xres // 2).astype(jnp.float32) * (2.0 * xfov) / np.float32(xres)
+    ez = -(iy - yres // 2).astype(jnp.float32) * (2.0 * yfov) / np.float32(yres)
+
+    # Quaternion rotation q * (v,0) * conj(q) (quat.rs:74-80), with the
+    # camera quat as SMEM scalars.
+    qx, qy, qz, qw = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5], cam_ref[0, 6])
+    # q * (v, 0)
+    rx = qy * ez - qz * ey + qw * ex
+    ry = qz * ex - qx * ez + qw * ey
+    rz = qx * ey - qy * ex + qw * ez
+    rw = -qx * ex - qy * ey - qz * ez
+    # (...) * conj(q)
+    vx = ry * (-qz) - rz * (-qy) + rx * qw + rw * (-qx)
+    vy = rz * (-qx) - rx * (-qz) + ry * qw + rw * (-qy)
+    vz = rx * (-qy) - ry * (-qx) + rz * qw + rw * (-qz)
+    eye = Vec3(vx, vy, vz).normalized()
+
+    vi = Vec3(
+        jnp.full((tile_rows, width), cam_ref[0, 0]),
+        jnp.full((tile_rows, width), cam_ref[0, 1]),
+        jnp.full((tile_rows, width), cam_ref[0, 2]),
+    )
+    return vi, eye
+
+
+def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
+    """Kernel body: generate this tile's camera rays (render.rs:808-815) and
+    trace them to completion without leaving VMEM."""
+
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
-
-        row0 = pl.program_id(0) * tile_rows
-        ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
-        iy = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
-
-        ex = jnp.ones((tile_rows, width), jnp.float32)
-        ey = (ix - xres // 2).astype(jnp.float32) * (2.0 * xfov) / np.float32(xres)
-        ez = -(iy - yres // 2).astype(jnp.float32) * (2.0 * yfov) / np.float32(yres)
-
-        # Quaternion rotation q * (v,0) * conj(q) (quat.rs:74-80), with the
-        # camera quat as SMEM scalars.
-        qx, qy, qz, qw = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5], cam_ref[0, 6])
-        # q * (v, 0)
-        rx = qy * ez - qz * ey + qw * ex
-        ry = qz * ex - qx * ez + qw * ey
-        rz = qx * ey - qy * ex + qw * ez
-        rw = -qx * ex - qy * ey - qz * ez
-        # (...) * conj(q)
-        vx = ry * (-qz) - rz * (-qy) + rx * qw + rw * (-qx)
-        vy = rz * (-qx) - rx * (-qz) + ry * qw + rw * (-qy)
-        vz = rx * (-qy) - ry * (-qx) + rz * qw + rw * (-qz)
-        eye = Vec3(vx, vy, vz).normalized()
-
-        vi = Vec3(
-            jnp.full((tile_rows, width), cam_ref[0, 0]),
-            jnp.full((tile_rows, width), cam_ref[0, 1]),
-            jnp.full((tile_rows, width), cam_ref[0, 2]),
-        )
+        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, width)
 
         ig = jnp.full((tile_rows, width), -1, jnp.int32)
         flags = jnp.zeros((tile_rows, width), jnp.int32)
@@ -425,11 +463,125 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
     return Color(r, g, b)
 
 
+class _Rows:
+    """Adapter giving ``x[i, c]`` access over nested tuples of scalars, so
+    :class:`_KernelScene` / :func:`_tile_rays` work identically on Pallas refs
+    (forward kernel) and on traced scalar values (backward kernel, where the
+    scene table entries must be jax.vjp-differentiable arguments)."""
+
+    def __init__(self, rows):
+        self.rows = rows
+
+    def __getitem__(self, key):
+        i, c = key
+        return self.rows[i][c]
+
+
+def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
+                     width: int, n_out: int):
+    """Backward kernel body: re-trace this tile (whole-program remat — zero
+    forward residuals cross HBM) and run the reverse sweep in VMEM, reducing
+    the tile's scene-parameter cotangents to ``n_out`` SMEM scalars.
+
+    The differentiation happens at TRACE time: ``jax.vjp`` over the tile-level
+    trace function emits plain jnp forward+transpose ops, which Mosaic
+    compiles like any other kernel body. This is the hand-scheduled
+    equivalent of a hand-written backward kernel, derived mechanically."""
+
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
+               out_ref):
+        irows = tuple(
+            tuple(i32_ref[i, c] for c in range(_I32_COLS))
+            for i in range(n_objects)
+        )
+        frows = tuple(
+            tuple(f32_ref[i, c] for c in range(_F32_COLS))
+            for i in range(n_objects)
+        )
+        camrow = tuple(cam_ref[0, k] for k in range(7))
+        lightrow = tuple(light_ref[0, k] for k in range(3))
+
+        def tile_fn(frows, camrow, lightrow):
+            ks = _KernelScene(_Rows(frows), _Rows(irows),
+                              _Rows((lightrow,)), n_objects)
+            vi, eye = _tile_rays(_Rows((camrow,)), cfg, tile_rows, width)
+            ig = jnp.full((tile_rows, width), -1, jnp.int32)
+            flags = jnp.zeros((tile_rows, width), jnp.int32)
+            out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
+            return out.r, out.g, out.b
+
+        _, vjp = jax.vjp(tile_fn, frows, camrow, lightrow)
+        gf, gc, gl = vjp((gr_ref[...], gg_ref[...], gb_ref[...]))
+
+        flat = [x for row in gf for x in row] + list(gc) + list(gl)
+        assert len(flat) == n_out
+        for k, v in enumerate(flat):
+            out_ref[0, k] = v
+
+    return kernel
+
+
+def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
+                              interpret: bool | None = None):
+    """Scene cotangent for the Pallas trace forward, computed by the fused
+    backward kernel: per-tile partials summed over the grid, then pulled back
+    through the (differentiable) scene pack."""
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    h, w = cfg.yres, cfg.xres
+    tile_rows = cfg.pallas_rows
+    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    n = scene.objects.count
+    nf = n * _F32_COLS
+    n_out = nf + 7 + 3
+
+    f32t, i32t, cam, light = _pack_scene(scene)
+
+    def pad_rows(a):
+        return jnp.pad(a, ((0, h_pad - h), (0, 0))) if h_pad != h else a
+
+    gr, gg, gb = pad_rows(g.r), pad_rows(g.g), pad_rows(g.b)
+
+    kernel = _make_bwd_kernel(cfg, n, tile_rows, w, n_out)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    partials = pl.pallas_call(
+        kernel,
+        grid=(h_pad // tile_rows,),
+        in_specs=[smem(), smem(), smem(), smem()]
+        + [
+            pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)
+            for _ in range(3)
+        ],
+        out_specs=pl.BlockSpec((1, n_out), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((h_pad // tile_rows, n_out),
+                                       jnp.float32),
+        interpret=interpret,
+    )(f32t, i32t, cam, light, gr, gg, gb)
+
+    flat = jnp.sum(partials, axis=0)  # (n_out,)
+    g_f32t = flat[:nf].reshape(n, _F32_COLS)
+    g_cam = jnp.concatenate([flat[nf:nf + 7], jnp.zeros(1, jnp.float32)])
+    g_cam = g_cam.reshape(1, 8)
+    g_light = jnp.concatenate([flat[nf + 7:], jnp.zeros(1, jnp.float32)])
+    g_light = g_light.reshape(1, 4)
+
+    def pack_f32(s):
+        ft, _, c, l = _pack_scene(s)
+        return ft, c, l
+
+    _, pvjp = jax.vjp(pack_f32, scene)
+    (scene_ct,) = pvjp((g_f32t, g_cam, g_light))
+    return scene_ct
+
+
 @functools.lru_cache(maxsize=None)
 def _fast_fn(cfg: RenderConfig):
-    """custom_vjp pairing: Pallas forward, jnp-path backward. The backward
-    re-renders under ``jax.vjp`` — whole-program remat, zero saved residuals
-    beyond the scene itself."""
+    """custom_vjp pairing: Pallas forward; backward either the fused Pallas
+    backward kernel (``cfg.pallas_bwd``) or the jnp path's VJP. Both backwards
+    re-trace (whole-program remat): zero saved residuals beyond the scene."""
     from .rays import camera_rays
     from .trace import trace_image
 
@@ -445,6 +597,40 @@ def _fast_fn(cfg: RenderConfig):
         return render_color_pallas(scene, cfg), scene
 
     def bwd(scene, g):
+        if cfg.pallas_bwd:
+            return (render_color_pallas_grads(scene, cfg, g),)
+        _, vjp = jax.vjp(jnp_forward, scene)
+        return vjp(g)
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
+@functools.lru_cache(maxsize=None)
+def _fast_march_fn(cfg: RenderConfig):
+    """custom_vjp pairing for march mode: fused Pallas march kernel forward
+    (ops/pallas_march.py), jnp scan-path backward. March gradients require the
+    fixed-budget differentiable march (config.py), so the backward re-renders
+    under ``cfg.differentiable=True``."""
+    from .rays import camera_rays
+    from .trace import trace_image
+
+    dcfg = cfg.with_(differentiable=True)
+
+    def jnp_forward(scene):
+        vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, dcfg)
+        return trace_image(scene, dcfg, vi, eye)
+
+    from .pallas_march import render_color_pallas_march
+
+    @jax.custom_vjp
+    def f(scene):
+        return render_color_pallas_march(scene, cfg)
+
+    def fwd(scene):
+        return render_color_pallas_march(scene, cfg), scene
+
+    def bwd(scene, g):
         _, vjp = jax.vjp(jnp_forward, scene)
         return vjp(g)
 
@@ -453,11 +639,15 @@ def _fast_fn(cfg: RenderConfig):
 
 
 def render_color_fast(scene: Scene, cfg: RenderConfig) -> Color:
-    """Differentiable render with the fused Pallas forward kernel and the jnp
-    path's VJP. Falls back to the jnp path when the kernel doesn't cover the
-    scene/config (march mode, image textures)."""
+    """Differentiable render with the fused Pallas forward kernels (trace or
+    march) and the jnp path's VJP. Falls back to the jnp path when no kernel
+    covers the scene/config (image textures, differentiable march)."""
     if pallas_supported(scene, cfg):
         return _fast_fn(cfg)(scene)
+    from .pallas_march import pallas_march_supported
+
+    if pallas_march_supported(scene, cfg):
+        return _fast_march_fn(cfg)(scene)
     from .rays import camera_rays
     from .trace import trace_image
 

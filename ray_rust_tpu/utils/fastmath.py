@@ -75,7 +75,10 @@ def asin(x):
 
     flag = a > 0.5
     z = jnp.where(flag, 0.5 * (1.0 - a), a * a)
-    xr = jnp.where(flag, jnp.sqrt(z), a)
+    # safe sqrt argument: when flag is False the sqrt branch is unselected, but
+    # its VJP would still be 0/(2*sqrt(0)) = NaN at z == 0 (e.g. rays with
+    # y == 0); feed it 1.0 there so the masked cotangent stays finite.
+    xr = jnp.where(flag, jnp.sqrt(jnp.where(flag, z, 1.0)), a)
 
     p = (
         (((np.float32(4.2163199048e-2) * z + np.float32(2.4181311049e-2)) * z

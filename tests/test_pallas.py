@@ -85,6 +85,50 @@ def test_pallas_patterns_checkerboard():
     _compare(ref, got, frac_budget=0.08, mean_tol=0.04)
 
 
+def test_pallas_march_matches_jnp():
+    """Fused march kernel (ops/pallas_march.py) vs the jnp march path,
+    including glow. Knife-edge budget is wider: sphere tracing accumulates
+    hundreds of f32 steps, so rounding differences flip horizon pixels."""
+    from ray_rust_tpu.ops.pallas_march import (
+        pallas_march_supported,
+        render_color_pallas_march,
+    )
+
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=32, yres=24, use_raymarching=True,
+                          glow_effect=1.0, max_refractions=1,
+                          march_max_iter=2000)
+    assert pallas_march_supported(scene, cfg)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas_march(scene, cfg, interpret=True))
+    _compare(ref, got, frac_budget=0.05, mean_tol=0.03)
+
+
+def test_fast_path_march_gradients_route_through_jnp():
+    """render_color_fast in march mode: Pallas march forward, differentiable
+    scan-march backward."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.ops.pallas_trace import render_color_fast
+    from ray_rust_tpu.renderer import render_color as render_jnp
+
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=16, yres=8, use_raymarching=True,
+                          max_refractions=1, march_max_iter=256,
+                          march_budget=64)
+
+    def loss(light_y, render_fn, c):
+        s = scene._replace(light=scene.light._replace(y=light_y))
+        img = render_fn(s, c)
+        return jnp.sum(img.r)
+
+    dcfg = cfg.with_(differentiable=True)
+    g_ref = jax.grad(lambda ly: loss(ly, render_jnp, dcfg))(jnp.float32(0.6))
+    g_fast = jax.grad(lambda ly: loss(ly, render_color_fast, cfg))(jnp.float32(0.6))
+    assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
+
+
 def test_fast_path_gradients_route_through_jnp():
     """render_color_fast must be differentiable; grads equal the jnp path's
     (custom_vjp: Pallas forward — interpreted on CPU — jnp-path backward)."""
