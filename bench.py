@@ -125,21 +125,35 @@ def main():
         log(f"pallas bench failed: {e}")
 
     # ---- forward+backward (scene-parameter gradients) ----
+    # Headline path: fused Pallas forward + fused Pallas backward kernels
+    # (ops/pallas_trace.py, custom_vjp). Falls back to the jnp/XLA autodiff
+    # path if the kernels fail on this backend.
     img0 = jax.jit(lambda s: render_color(s, cfg))(scene)
     target = jnp.stack([img0.r, img0.g, img0.b], -1) + 0.05
 
-    grad_fn = jax.value_and_grad(lambda s: render_loss(s, cfg, target), allow_int=True)
+    def make_fb(loss_cfg):
+        grad_fn = jax.value_and_grad(
+            lambda s: render_loss(s, loss_cfg, target), allow_int=True
+        )
 
-    def fb_scalar(s):
-        loss, grads = grad_fn(s)
-        acc = loss
-        for leaf in jax.tree_util.tree_leaves(grads):
-            if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
-                acc = acc + jnp.sum(leaf)
-        return acc
+        def fb_scalar(s):
+            loss, grads = grad_fn(s)
+            acc = loss
+            for leaf in jax.tree_util.tree_leaves(grads):
+                if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                    acc = acc + jnp.sum(leaf)
+            return acc
 
-    vg = jax.jit(fb_scalar)
-    fb_t = timed(vg, scene, what="fwd+bwd")
+        return jax.jit(fb_scalar)
+
+    fb_t = None
+    try:
+        kcfg = cfg.with_(use_pallas=True, pallas_bwd=True)
+        fb_t = timed(make_fb(kcfg), scene, what="fwd+bwd (pallas)")
+    except Exception as e:
+        log(f"pallas fwd+bwd failed, falling back to jnp path: {e}")
+    if fb_t is None:
+        fb_t = timed(make_fb(cfg), scene, what="fwd+bwd (jnp)")
     fb_mrays = rays / fb_t / 1e6
     log(f"fwd+bwd 1080p: {fb_t*1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s primary")
 
@@ -147,7 +161,11 @@ def main():
     march_ms = None
     if time.perf_counter() - t_start < 360:
         try:
-            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True, glow_effect=1.0)
+            # use_pallas routes march mode through the fused Pallas march
+            # kernel (ops/pallas_march.py) when supported; falls back to the
+            # banded jnp while_loop path otherwise.
+            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
+                                   glow_effect=1.0, use_pallas=True)
             march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
             m_t = timed(march, scene, iters=2, what="march")
             march_ms = m_t * 1e3

@@ -515,8 +515,14 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 
         flat = [x for row in gf for x in row] + list(gc) + list(gl)
         assert len(flat) == n_out
+        # The TPU grid runs sequentially on one core, so the per-tile
+        # cotangents accumulate in place into the single (1, n_out) SMEM
+        # output block (whole-array block: Mosaic's block-shape alignment
+        # rule forbids a (1, n_out) slice of a (tiles, n_out) array).
+        first = pl.program_id(0) == 0
         for k, v in enumerate(flat):
-            out_ref[0, k] = v
+            prev = jnp.where(first, 0.0, out_ref[0, k])
+            out_ref[0, k] = prev + v
 
     return kernel
 
@@ -554,14 +560,13 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
                          memory_space=pltpu.VMEM)
             for _ in range(3)
         ],
-        out_specs=pl.BlockSpec((1, n_out), lambda i: (i, 0),
+        out_specs=pl.BlockSpec((1, n_out), lambda i: (0, 0),
                                memory_space=pltpu.SMEM),
-        out_shape=jax.ShapeDtypeStruct((h_pad // tile_rows, n_out),
-                                       jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
         interpret=interpret,
     )(f32t, i32t, cam, light, gr, gg, gb)
 
-    flat = jnp.sum(partials, axis=0)  # (n_out,)
+    flat = partials[0]  # (n_out,) — accumulated across the grid in-kernel
     g_f32t = flat[:nf].reshape(n, _F32_COLS)
     g_cam = jnp.concatenate([flat[nf:nf + 7], jnp.zeros(1, jnp.float32)])
     g_cam = g_cam.reshape(1, 8)

@@ -24,7 +24,17 @@ def run(n_devices: int) -> None:
 
     H = 8 * mesh.shape["dp"]
     W = 16 * mesh.shape["sp"]
-    cfg = RenderConfig(xres=W, yres=H, max_refractions=2)
+    # Tiny unroll depths, not just tiny shapes: this dry run executes on the
+    # XLA:CPU backend (often on a 2-core driver box), where compiling the
+    # full-depth unrolled fwd+bwd trace takes over an hour. Depth doesn't
+    # change the sharding structure being validated — the same raycast/shade/
+    # bounce program, the same (dp, sp) partitioning of every per-pixel
+    # intermediate, the same scene-parameter all-reduce in the backward.
+    cfg = RenderConfig(
+        xres=W, yres=H,
+        max_reflections=2, max_refractions=1, refraction_unroll=1,
+        remat=False,
+    )
 
     scene, _ = default_scene()
 

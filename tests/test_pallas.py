@@ -151,3 +151,66 @@ def test_fast_path_gradients_route_through_jnp():
     g_ref = jax.grad(lambda ly: loss(ly, render_jnp))(jnp.float32(0.6))
     g_fast = jax.grad(lambda ly: loss(ly, render_color_fast))(jnp.float32(0.6))
     assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
+
+
+def test_pallas_bwd_kernel_matches_jnp_vjp():
+    """Fused Pallas backward kernel (render_color_pallas_grads, interpret
+    mode) vs the jnp path's VJP.
+
+    Methodology: the two backwards are exact derivatives of *slightly
+    different* forwards (kernel vs jnp op fusion/rounding), so the cotangent
+    is masked to pixels where the two forwards agree — on those pixels every
+    discrete decision (hit object, shadow, pattern cell) matched, and the
+    local derivatives must too. ``pattern_scale`` is exempt: its per-pixel
+    gradient scales like u/scale with u ~ 1e4/scale at horizon-grazing floor
+    hits, so it is edge-dominated noise in BOTH paths (checked finite only).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.models.vec import Color
+    from ray_rust_tpu.ops.pallas_trace import (
+        render_color_pallas,
+        render_color_pallas_grads,
+    )
+    from ray_rust_tpu.ops.rays import camera_rays
+    from ray_rust_tpu.ops.trace import trace_image
+
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=32, yres=16, max_reflections=2,
+                          refraction_unroll=1)
+
+    def jnp_fwd(s):
+        vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)
+        return trace_image(s, cfg, vi, eye)
+
+    imgp = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    imgj = _img_np(jnp_fwd(scene))
+    agree = (np.abs(imgp - imgj).max(-1) < 1e-4)
+    assert agree.mean() > 0.85, f"forwards agree on only {agree.mean():.0%}"
+
+    rng = np.random.default_rng(0)
+    gm = rng.standard_normal((16, 32)).astype(np.float32) * agree
+    g = Color(*(jnp.asarray(gm) for _ in range(3)))
+
+    ct = render_color_pallas_grads(scene, cfg, g, interpret=True)
+    _, vjp = jax.vjp(jnp_fwd, scene)
+    (ct_ref,) = vjp(g)
+
+    paths = jax.tree_util.tree_flatten_with_path(ct)[0]
+    lb = jax.tree_util.tree_leaves(ct_ref)
+    assert len(paths) == len(lb)
+    for (path, a), b in zip(paths, lb):
+        if getattr(a, "dtype", None) is None or str(a.dtype) != "float32":
+            continue
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        if "pattern_scale" in jax.tree_util.keystr(path):
+            assert np.isfinite(a).all()
+            continue
+        denom = max(np.linalg.norm(b), 1e-2)
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.01, (
+            f"{jax.tree_util.keystr(path)}: relative-L2 grad diff {rel:.4f} "
+            f"(leaf norm {denom:.3g})"
+        )
