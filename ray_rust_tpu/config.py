@@ -93,6 +93,13 @@ class RenderConfig:
     # scene-gradient reduction — runs in VMEM; per-tile partials are summed
     # on the way out). False routes gradients through the jnp path.
     pallas_bwd: bool = False
+    # Column-tile width for the backward kernel's 2D grid. The reverse sweep
+    # holds every forward intermediate of a tile live simultaneously, so the
+    # tile must be bounded in both dimensions: a full 1920-wide row tile
+    # spills ~140MB of f32 state (>16MB VMEM); 8x384 fits and measured
+    # fastest at 1080p (47.4ms vs 49.1 at 512 / 50.0 at 256 — and 1920/384
+    # divides exactly, no padded-column waste). None/0 = full image width.
+    pallas_bwd_cols: int = 384
 
     # Rematerialize each bounce step in the backward pass (recompute instead
     # of storing every (H, W) intermediate — the unrolled trace is otherwise

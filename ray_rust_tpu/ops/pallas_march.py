@@ -76,6 +76,8 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
     while_loop carry in VMEM; the loop exits when every live lane converges,
     escapes, or passes the iteration cap."""
     shape = jnp.shape(init_pos.x)
+    # The done mask is carried as int32 (1 = done): Mosaic fails to legalize
+    # while_loops with vector-of-i1 carries ('scf.yield' legalization error).
     state = (
         init_pos.x, init_pos.y, init_pos.z,
         jnp.zeros(shape, jnp.float32),           # travel
@@ -83,13 +85,13 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         jnp.full(shape, _BIG, jnp.float32),      # min glow
         jnp.zeros(shape, jnp.float32),           # final dist
         jnp.zeros(shape, jnp.int32),             # idx
-        ~active,                                 # done
+        (~active).astype(jnp.int32),             # done (0/1)
     )
 
     def once(s):
         px, py, pz, travel, it, mind, fd, idx, done = s
         dist, i, glow = ks.distance_estimate(Vec3(px, py, pz), ig)
-        live = ~done
+        live = done == 0
         new_it = it + 1
         stop = (
             (dist < cfg.march_eps)
@@ -105,7 +107,7 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
             jnp.where(live & (glow < mind), glow, mind),
             jnp.where(live, dist, fd),
             jnp.where(live, i, idx),
-            done | (live & stop),
+            jnp.maximum(done, (live & stop).astype(jnp.int32)),
         )
 
     chunk = max(1, cfg.march_chunk)
@@ -115,7 +117,7 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
             s = once(s)
         return s
 
-    state = lax.while_loop(lambda s: jnp.any(~s[-1]), body, state)
+    state = lax.while_loop(lambda s: jnp.min(s[-1]) == 0, body, state)
     px, py, pz, travel, it, mind, fd, idx, _ = state
     return MarchResult(
         final_dist=fd, idx=idx, pos=Vec3(px, py, pz), iter=it,

@@ -365,15 +365,19 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     return ret
 
 
-def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int):
+def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
+               col_grid: bool = False):
     """This tile's camera rays (render.rs:808-815): pixel grid offset by the
-    program's row tile, rotated by the camera quaternion from SMEM scalars."""
+    program's (row, col) tile, rotated by the camera quaternion from SMEM
+    scalars. ``col_grid`` marks a 2D grid whose second axis tiles columns
+    (``width`` is then the column-tile width)."""
     xres, yres = cfg.xres, cfg.yres
     xfov = np.float32(cfg.xfov)
     yfov = np.float32(cfg.resolved_yfov())
 
     row0 = pl.program_id(0) * tile_rows
-    ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1)
+    col0 = pl.program_id(1) * width if col_grid else 0
+    ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1) + col0
     iy = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
 
     ex = jnp.ones((tile_rows, width), jnp.float32)
@@ -478,7 +482,7 @@ class _Rows:
 
 
 def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
-                     width: int, n_out: int):
+                     tile_cols: int, n_out: int, col_grid: bool):
     """Backward kernel body: re-trace this tile (whole-program remat — zero
     forward residuals cross HBM) and run the reverse sweep in VMEM, reducing
     the tile's scene-parameter cotangents to ``n_out`` SMEM scalars.
@@ -486,7 +490,12 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
     The differentiation happens at TRACE time: ``jax.vjp`` over the tile-level
     trace function emits plain jnp forward+transpose ops, which Mosaic
     compiles like any other kernel body. This is the hand-scheduled
-    equivalent of a hand-written backward kernel, derived mechanically."""
+    equivalent of a hand-written backward kernel, derived mechanically.
+
+    The grid is 2D (row tiles × column tiles): the reverse sweep keeps every
+    forward intermediate of the tile live at once, so tiles are bounded in
+    BOTH dimensions to fit the register/VMEM budget (a full 1920-wide row
+    tile spills ~140MB at f32)."""
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
                out_ref):
@@ -504,9 +513,10 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
         def tile_fn(frows, camrow, lightrow):
             ks = _KernelScene(_Rows(frows), _Rows(irows),
                               _Rows((lightrow,)), n_objects)
-            vi, eye = _tile_rays(_Rows((camrow,)), cfg, tile_rows, width)
-            ig = jnp.full((tile_rows, width), -1, jnp.int32)
-            flags = jnp.zeros((tile_rows, width), jnp.int32)
+            vi, eye = _tile_rays(_Rows((camrow,)), cfg, tile_rows, tile_cols,
+                                 col_grid=col_grid)
+            ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
+            flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
             out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
             return out.r, out.g, out.b
 
@@ -520,6 +530,8 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
         # output block (whole-array block: Mosaic's block-shape alignment
         # rule forbids a (1, n_out) slice of a (tiles, n_out) array).
         first = pl.program_id(0) == 0
+        if col_grid:
+            first = first & (pl.program_id(1) == 0)
         for k, v in enumerate(flat):
             prev = jnp.where(first, 0.0, out_ref[0, k])
             out_ref[0, k] = prev + v
@@ -537,32 +549,60 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
 
     h, w = cfg.yres, cfg.xres
     tile_rows = cfg.pallas_rows
+    tile_cols = min(cfg.pallas_bwd_cols, w) if cfg.pallas_bwd_cols else w
     h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    w_pad = ((w + tile_cols - 1) // tile_cols) * tile_cols
     n = scene.objects.count
     nf = n * _F32_COLS
     n_out = nf + 7 + 3
 
     f32t, i32t, cam, light = _pack_scene(scene)
 
-    def pad_rows(a):
-        return jnp.pad(a, ((0, h_pad - h), (0, 0))) if h_pad != h else a
+    def pad_hw(a):
+        # Zero cotangents for pad rows/cols: their rays are regular (finite)
+        # out-of-frame camera rays, so zero incoming cotangent means zero
+        # contribution to the scene gradient.
+        if h_pad != h or w_pad != w:
+            return jnp.pad(a, ((0, h_pad - h), (0, w_pad - w)))
+        return a
 
-    gr, gg, gb = pad_rows(g.r), pad_rows(g.g), pad_rows(g.b)
+    gr, gg, gb = pad_hw(g.r), pad_hw(g.g), pad_hw(g.b)
 
-    kernel = _make_bwd_kernel(cfg, n, tile_rows, w, n_out)
+    # Single-column-tile images keep the 1D grid (bit-identical to the
+    # untiled layout — a traced column offset, even a constant zero, reorders
+    # interpret/compile-mode rounding enough to flip knife-edge decisions in
+    # the re-trace); wide images tile columns so the reverse sweep's live set
+    # fits VMEM.
+    n_col_tiles = w_pad // tile_cols
+    col_grid = n_col_tiles > 1
+    if col_grid:
+        grid = (h_pad // tile_rows, n_col_tiles)
+        img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
+                                memory_space=pltpu.SMEM)
+    else:
+        grid = (h_pad // tile_rows,)
+        img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
+                                memory_space=pltpu.SMEM)
+
+    kernel = _make_bwd_kernel(cfg, n, tile_rows, tile_cols, n_out, col_grid)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     partials = pl.pallas_call(
         kernel,
-        grid=(h_pad // tile_rows,),
-        in_specs=[smem(), smem(), smem(), smem()]
-        + [
-            pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ],
-        out_specs=pl.BlockSpec((1, n_out), lambda i: (0, 0),
-                               memory_space=pltpu.SMEM),
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem()] + [img_spec] * 3,
+        out_specs=out_spec,
         out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
+        # The reverse sweep's live set slightly exceeds Mosaic's default 16MB
+        # scoped-vmem budget at 8x512 tiles; the chip has 128MB — let the
+        # kernel use it rather than shrinking tiles (smaller tiles waste
+        # cycles on per-tile scene-VJP reductions and pipeline bubbles).
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ) if not interpret else None,
         interpret=interpret,
     )(f32t, i32t, cam, light, gr, gg, gb)
 

@@ -71,3 +71,23 @@ def test_graft_entry_single():
     out = jax.jit(fn)(*args)
     jax.block_until_ready(out)
     assert np.asarray(out.r).shape == (96, 128)
+
+
+def test_scaling_harness_mechanism():
+    """Weak-scaling sweep runs end to end on the virtual mesh (timings on
+    shared CPU cores are not meaningful; this checks mechanism + report)."""
+    from ray_rust_tpu.parallel.scaling import format_report, measure_scaling
+
+    res = measure_scaling(
+        device_counts=[1, 2],
+        rows_per_device=8,
+        width=32,
+        cfg=rt.RenderConfig(max_reflections=1, max_refractions=1,
+                            refraction_unroll=1, remat=False),
+        iters=1,
+    )
+    assert [r["devices"] for r in res] == [1, 2]
+    assert res[0]["fwd_efficiency"] == 1.0
+    assert all(np.isfinite(r["step_s"]) for r in res)
+    report = format_report(res)
+    assert "devices" in report and "step eff" in report
