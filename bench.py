@@ -157,6 +157,58 @@ def main():
     fb_mrays = rays / fb_t / 1e6
     log(f"fwd+bwd 1080p: {fb_t*1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s primary")
 
+    # ---- supplementary: 100-sphere deserialized stress scene (config 4) ----
+    stress_ms = None
+    if time.perf_counter() - t_start < 420:
+        try:
+            import numpy as np
+
+            from ray_rust_tpu import FloorSpec, MaterialSpec, SphereSpec, build_scene
+            from ray_rust_tpu.models.serialize import (
+                deserialize_scene,
+                serialize_scene,
+            )
+
+            rng = np.random.default_rng(7)
+            mats = [MaterialSpec(name="m0", diffuse=(1.0, 1.0, 0.0))] + [
+                MaterialSpec(
+                    name=f"m{i}",
+                    diffuse=tuple(rng.uniform(0.2, 1.0, 3).round(3)),
+                    specular=(0.3, 0.3, 0.3),
+                    pn=8,
+                )
+                for i in range(1, 9)
+            ]
+            objs = [FloorSpec(material="m0", org=(0, -300, 0),
+                              face_normal=(0, 1, 0))] + [
+                SphereSpec(
+                    material=f"m{1 + int(rng.integers(8))}",
+                    r=float(rng.uniform(20, 60)),
+                    org=tuple(
+                        rng.uniform(-800, 800, 3) * np.array([1, 0.3, 1])
+                        + np.array([0, -150, 400])
+                    ),
+                )
+                for _ in range(100)
+            ]
+            big_scene, big_meta = build_scene(
+                mats, objs, camera_position=(0, -150, -300),
+                camera_pyr=(0, -np.pi / 2, -np.pi / 2),
+                light=(50, 60, -50),
+            )
+            # Round-trip through the reference YAML format (config 4 says
+            # "deserialized custom scene") so the stress path includes the
+            # serializer.
+            big_scene, _ = deserialize_scene(serialize_scene(big_scene, big_meta))
+            scfg = rt.RenderConfig(xres=640, yres=480)
+            stress = jax.jit(lambda s: scalar(render_color(s, scfg)))
+            s_t = timed(stress, big_scene, iters=3, what="stress-101obj")
+            stress_ms = s_t * 1e3
+            log(f"101-object 640x480 fwd: {stress_ms:.1f} ms -> "
+                f"{640*480/s_t/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"stress bench failed: {e}")
+
     # ---- supplementary: raymarch + glow 1280x720 (config 3) ----
     march_ms = None
     if time.perf_counter() - t_start < 360:
@@ -183,6 +235,8 @@ def main():
         extra["fwd_pallas_mrays"] = round(pallas_mrays, 2)
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
+    if stress_ms is not None:
+        extra["stress_101obj_640x480_ms"] = round(stress_ms, 1)
     print(
         json.dumps(
             {

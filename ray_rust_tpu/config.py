@@ -87,6 +87,19 @@ class RenderConfig:
     # tile height (sublane-aligned multiples of 8).
     use_pallas: bool = False
     pallas_rows: int = 8
+    # Column-tile width for the FORWARD kernels (trace + march). Narrower
+    # tiles bound each tile's worst lane: the tile-level early exit and the
+    # march while_loop run to the slowest lane in the tile, so column tiling
+    # converts per-lane divergence into per-tile work skipped. 0 = full
+    # image width (single column tile).
+    pallas_cols: int = 256
+    # Tile-level divergence skip inside the fused trace kernel: wrap the
+    # refraction sub-trace and bounces >1 in a 0/1-trip while_loop
+    # (_tile_cond) so a tile whose lanes are all dead (no transparent hit /
+    # no surviving reflection) skips the work entirely. Exact — skipped work
+    # is fully masked out anyway. The TPU-native analogue of warp-coherent
+    # early exit. Forward-only (reverse-mode AD cannot cross the while).
+    pallas_early_exit: bool = True
     # Backward pass as a second fused Pallas kernel (ops/pallas_trace.py:
     # the tile-level trace function is differentiated at trace time with
     # jax.vjp, so the whole backward — re-trace + reverse sweep + per-tile

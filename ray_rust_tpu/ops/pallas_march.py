@@ -258,14 +258,16 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     return ret
 
 
-def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
+def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
+                 tile_cols: int, col_grid: bool):
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
-        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, width)
+        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols,
+                             col_grid=col_grid)
 
-        ig = jnp.full((tile_rows, width), -1, jnp.int32)
-        flags = jnp.zeros((tile_rows, width), jnp.int32)
-        active = jnp.ones((tile_rows, width), bool)
+        ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
+        flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
+        active = jnp.ones((tile_rows, tile_cols), bool)
         out = _raymarch(ks, cfg, vi, eye, 0, ig, flags, active)
 
         r_ref[:] = out.r
@@ -279,36 +281,37 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
                               interpret: bool | None = None) -> Color:
     """Forward march render through the fused Pallas kernel. Not
     differentiable — use pallas_trace.render_color_fast for the custom-VJP
-    pairing."""
+    pairing. Column tiling (cfg.pallas_cols) matters even more here than for
+    the trace kernel: every while_loop (march, shadow march) runs to the
+    slowest live lane in the tile, and horizon-grazing rays need ~1500 SDF
+    steps while sphere hits need ~10."""
     if not pallas_march_supported(scene, cfg):
         raise ValueError("scene/config outside the fused march kernel's "
                          "support; use the jnp path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    from .pallas_trace import fwd_grid_spec
+
     h, w = cfg.yres, cfg.xres
     tile_rows = cfg.pallas_rows
-    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(cfg)
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)
-    kernel = _make_kernel(cfg, n, tile_rows, w)
+    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
 
-    out_shape = jax.ShapeDtypeStruct((h_pad, w), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     r, g, b = pl.pallas_call(
         kernel,
-        grid=(h_pad // tile_rows,),
+        grid=grid,
         in_specs=[smem(), smem(), smem(), smem()],
-        out_specs=tuple(
-            pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ),
+        out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
     )(f32t, i32t, cam, light)
 
-    if h_pad != h:
-        r, g, b = r[:h], g[:h], b[:h]
+    if h_pad != h or w_pad != w:
+        r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]
     return Color(r, g, b)

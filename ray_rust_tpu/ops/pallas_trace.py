@@ -261,6 +261,24 @@ def _powf(base, exponent):
     return jnp.exp(exponent * jnp.log(base))
 
 
+def _tile_cond(pred, fn, state):
+    """Run ``fn(state)`` once when ``pred`` is true, else return ``state`` —
+    a 0/1-trip ``lax.while_loop``. Mosaic cannot legalize ``lax.cond`` with
+    vector results (scf.if) but legalizes scf.while, so this is the kernel-
+    side tile-level skip primitive. NOT reverse-mode differentiable (while);
+    the backward kernel traces with early exit disabled instead. ``state``
+    leaves must be while-carry-compatible (no bool vectors — use int32)."""
+    flag = pred.astype(jnp.int32)
+
+    def c(carry):
+        return carry[0] > 0
+
+    def b(carry):
+        return (jnp.int32(0), fn(carry[1]))
+
+    return lax.while_loop(c, b, (flag, state))[1]
+
+
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
              n: Vec3, pt: Vec3, eye: Vec3, nest: int) -> Color:
     """Kernel-side shading (render.rs:1020-1140): Lambert + Phong + shadow +
@@ -307,7 +325,19 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
         ray = (eye + Vec3(n.x * bend, n.y * bend, n.z * bend)).normalized()
         pt3 = pt + ray * F32_EPSILON
         sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
-        fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags)
+
+        if cfg.pallas_early_exit:
+            # Tile-level divergence skip: the refraction sub-tree only
+            # contributes where a transparent material was hit; tiles with no
+            # such lane (most of the image) skip the whole sub-trace. The
+            # result is exact — lanes with f == 0 discard fc2 entirely below.
+            fc2 = _tile_cond(
+                jnp.any(f > 0.0),
+                lambda _z: _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags),
+                Color.zero(jnp.shape(f)),
+            )
+        else:
+            fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags)
         blended = Color(
             (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
             (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
@@ -328,41 +358,61 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     active = jnp.ones(shape, bool)
     bg_fn = get_bg(cfg.bg)
 
+    def make_step(lev_i):
+        def step_fn(state):
+            vi, eye, flags, ig, fcs, ret, active_i = state
+            active = active_i != 0  # int32 carry: see _tile_cond
+            t, idx = ks.raycast(vi, eye, ig, flags)
+            hit = jnp.isfinite(t)
+            t_safe = jnp.where(hit, t, 0.0)
+            pt = vi + eye * t_safe
+            if cfg.grad_distance_cutoff is not None:
+                # backward hygiene, same as ops/trace.py:_raytrace_step:
+                # knife-edge horizon hits are constants in the backward
+                # (forward no-op)
+                near = t_safe < cfg.grad_distance_cutoff
+                pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
+            fields = ks.gather(idx)
+            n = ks.normal_at(fields, pt)
+            face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i)
+            ret, fcs = _accumulate(ret, fcs, face, fields.specular,
+                                   active & hit, flags)
+
+            miss = active & ~hit
+            bg = bg_fn(ks.light, eye)
+            ret = Color(
+                ret.r + jnp.where(miss, bg.r * fcs.r, 0.0),
+                ret.g + jnp.where(miss, bg.g * fcs.g, 0.0),
+                ret.b + jnp.where(miss, bg.b * fcs.b, 0.0),
+            )
+
+            cont = (
+                active & hit & (idx != 0)
+                & (fcs.sum() > 0.1)
+                & (lev_i < cfg.max_reflections)
+            )
+            vi2, eye2, flags2, ig2 = _reflect_update(vi, eye, flags, ig, pt,
+                                                     n, idx, cont)
+            return (vi2, eye2, flags2, ig2, fcs, ret,
+                    cont.astype(jnp.int32))
+
+        return step_fn
+
+    state = (vi, eye, flags, ig, fcs, ret, active.astype(jnp.int32))
     n_iters = max(1, cfg.max_reflections - lev)
     for step in range(n_iters):
-        lev_i = lev + 1 + step
+        step_fn = make_step(lev + 1 + step)
+        if cfg.pallas_early_exit and step > 0:
+            # Tile-level divergence skip for later bounces: after the first
+            # bounce most tiles have no surviving lane (sky / diffuse-only
+            # tiles) — skip the bounce body when the whole tile is dead.
+            # Exact: a bounce over an all-false active mask is a no-op on
+            # every carried value.
+            state = _tile_cond(jnp.max(state[6]) > 0, step_fn, state)
+        else:
+            state = step_fn(state)
 
-        t, idx = ks.raycast(vi, eye, ig, flags)
-        hit = jnp.isfinite(t)
-        t_safe = jnp.where(hit, t, 0.0)
-        pt = vi + eye * t_safe
-        if cfg.grad_distance_cutoff is not None:
-            # backward hygiene, same as ops/trace.py:_raytrace_step: knife-edge
-            # horizon hits are constants in the backward (forward no-op)
-            near = t_safe < cfg.grad_distance_cutoff
-            pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
-        fields = ks.gather(idx)
-        n = ks.normal_at(fields, pt)
-        face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i)
-        ret, fcs = _accumulate(ret, fcs, face, fields.specular, active & hit, flags)
-
-        miss = active & ~hit
-        bg = bg_fn(ks.light, eye)
-        ret = Color(
-            ret.r + jnp.where(miss, bg.r * fcs.r, 0.0),
-            ret.g + jnp.where(miss, bg.g * fcs.g, 0.0),
-            ret.b + jnp.where(miss, bg.b * fcs.b, 0.0),
-        )
-
-        cont = (
-            active & hit & (idx != 0)
-            & (fcs.sum() > 0.1)
-            & (lev_i < cfg.max_reflections)
-        )
-        vi, eye, flags, ig = _reflect_update(vi, eye, flags, ig, pt, n, idx, cont)
-        active = cont
-
-    return ret
+    return state[5]
 
 
 def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
@@ -406,16 +456,18 @@ def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
     return vi, eye
 
 
-def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
+def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
+                 tile_cols: int, col_grid: bool):
     """Kernel body: generate this tile's camera rays (render.rs:808-815) and
     trace them to completion without leaving VMEM."""
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
-        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, width)
+        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols,
+                             col_grid=col_grid)
 
-        ig = jnp.full((tile_rows, width), -1, jnp.int32)
-        flags = jnp.zeros((tile_rows, width), jnp.int32)
+        ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
+        flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
         out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
 
         r_ref[:] = out.r
@@ -423,6 +475,30 @@ def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int, width: int):
         b_ref[:] = out.b
 
     return kernel
+
+
+def fwd_grid_spec(cfg: RenderConfig):
+    """Shared forward-kernel tiling: (grid, out_specs, padded shape,
+    tile_cols, col_grid). Column tiles (``cfg.pallas_cols``) bound each
+    tile's worst lane: the tile-level early exit (_tile_cond) and the march
+    while_loop both run to their slowest lane, so narrower tiles skip more
+    dead work. 0 = full image width (single column tile, 1D grid)."""
+    h, w = cfg.yres, cfg.xres
+    tile_rows = cfg.pallas_rows
+    tile_cols = min(cfg.pallas_cols, w) if cfg.pallas_cols else w
+    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    w_pad = ((w + tile_cols - 1) // tile_cols) * tile_cols
+    n_col_tiles = w_pad // tile_cols
+    col_grid = n_col_tiles > 1
+    if col_grid:
+        grid = (h_pad // tile_rows, n_col_tiles)
+        out_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (h_pad // tile_rows,)
+        out_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+    return grid, out_spec, (h_pad, w_pad), tile_cols, col_grid
 
 
 def render_color_pallas(scene: Scene, cfg: RenderConfig,
@@ -441,29 +517,25 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
 
     h, w = cfg.yres, cfg.xres
     tile_rows = cfg.pallas_rows
-    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(cfg)
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)
-    kernel = _make_kernel(cfg, n, tile_rows, w)
+    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
 
-    out_shape = jax.ShapeDtypeStruct((h_pad, w), jnp.float32)
+    out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     r, g, b = pl.pallas_call(
         kernel,
-        grid=(h_pad // tile_rows,),
+        grid=grid,
         in_specs=[smem(), smem(), smem(), smem()],
-        out_specs=tuple(
-            pl.BlockSpec((tile_rows, w), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM)
-            for _ in range(3)
-        ),
+        out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
     )(f32t, i32t, cam, light)
 
-    if h_pad != h:
-        r, g, b = r[:h], g[:h], b[:h]
+    if h_pad != h or w_pad != w:
+        r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]
     return Color(r, g, b)
 
 
@@ -495,7 +567,13 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
     The grid is 2D (row tiles × column tiles): the reverse sweep keeps every
     forward intermediate of the tile live at once, so tiles are bounded in
     BOTH dimensions to fit the register/VMEM budget (a full 1920-wide row
-    tile spills ~140MB at f32)."""
+    tile spills ~140MB at f32).
+
+    Tile-level early exit is disabled in the traced function: the skip
+    primitive is a while_loop (_tile_cond), which reverse-mode AD cannot
+    cross — the backward re-trace pays the full unrolled program. The values
+    are identical either way (skipped work is fully masked)."""
+    cfg = cfg.with_(pallas_early_exit=False)
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
                out_ref):
