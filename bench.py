@@ -199,7 +199,7 @@ def main():
             # Round-trip through the reference YAML format (config 4 says
             # "deserialized custom scene") so the stress path includes the
             # serializer.
-            big_scene, _ = deserialize_scene(serialize_scene(big_scene, big_meta))
+            big_scene, _, _ = deserialize_scene(serialize_scene(big_scene, big_meta))
             scfg = rt.RenderConfig(xres=640, yres=480)
             stress = jax.jit(lambda s: scalar(render_color(s, scfg)))
             s_t = timed(stress, big_scene, iters=3, what="stress-101obj")

@@ -91,3 +91,21 @@ def test_scaling_harness_mechanism():
     assert all(np.isfinite(r["step_s"]) for r in res)
     report = format_report(res)
     assert "devices" in report and "step eff" in report
+
+
+def test_multihost_api_single_process(scene):
+    """Multi-host glue degrades to single-process: init is a no-op, the
+    global mesh spans the 8 virtual devices, and the gathered image equals
+    the plain sharded render."""
+    from ray_rust_tpu.parallel import multihost
+
+    assert multihost.init_distributed() is False  # single process
+    assert multihost.is_primary()
+    mesh = multihost.global_mesh(dp=4, sp=2)
+    cfg = rt.RenderConfig(xres=64, yres=32, max_reflections=1,
+                          max_refractions=1, refraction_unroll=1, remat=False)
+    img = multihost.render_multihost(scene, cfg, mesh)
+    assert img.shape == (32, 64, 3) and np.isfinite(img).all()
+    with mesh:
+        ref = render_sharded(scene, cfg, mesh)
+    np.testing.assert_array_equal(img, _np_img(ref))
