@@ -6,22 +6,43 @@ object table — unrolled straight-line code for small scenes (one fused kernel
 per march step) and a ``lax.scan`` above ``_UNROLL_MAX`` objects. The march
 runs in one of two modes:
 
-* ``while``: a batched ``lax.while_loop`` stepping every ray until all lanes
-  converge/escape — fast forward path, exact reference iteration semantics
-  (eps/far/max-iter, render.rs:1253-1255, 1286). Each while iteration
-  executes ``cfg.march_chunk`` masked steps to amortize the loop's fixed
-  per-iteration cost (cond reduce + state roundtrip).
+* ``while`` (default): a batched ``lax.while_loop`` stepping every ray until
+  all lanes converge/escape — fast forward path, exact reference iteration
+  semantics (eps/far/max-iter, render.rs:1253-1255, 1286). Each while
+  iteration executes ``cfg.march_chunk`` masked steps to amortize the loop's
+  fixed per-iteration cost (cond reduce + state roundtrip). Reverse-mode
+  differentiable through a *closed-form implicit VJP* (see below) — no
+  unrolling, no per-step residuals.
 * ``scan`` (``cfg.differentiable``): a fixed-budget masked ``lax.scan``,
-  reverse-mode differentiable; rays not settled within the budget report
-  ``iter`` past the max-iter cap, matching the reference's treatment of
-  exhausted marches as escaped.
+  differentiated step-by-step by ordinary reverse-mode AD; rays not settled
+  within the budget report ``iter`` past the max-iter cap, matching the
+  reference's treatment of exhausted marches as escaped. Kept as the
+  brute-force gradient oracle for the implicit VJP.
+
+Implicit VJP (the TPU-native gradient path): the converged hit point is a
+root of the scene SDF along the ray, ``D(p0 + e·t*, θ) = 0``, so by the
+implicit function theorem
+
+    dt* = -(∇D·dp0 + t*·∇D·de + D_θ·dθ) / (∇D·e)
+
+evaluated once at the hit — one extra SDF vjp/jvp per march instead of
+differentiating hundreds of sphere-tracing steps (the standard trick from
+differentiable-SDF rendering, e.g. IDR/DIST). The glow channel ``min_dist``
+(running min of the glow metric over the path, render.rs:1282-1284) gets an
+envelope-style subgradient: the argmin path position is carried out of the
+march (``glow_pos``) and treated as constant, so gradients flow to the scene
+parameters through one glow-metric evaluation at that point. Escaped /
+budget-exhausted / grazing (|∇D·e| ~ 0) lanes get zero gradients — the same
+knife-edge hygiene contract as ``cfg.grad_distance_cutoff``.
 """
 
 from __future__ import annotations
 
-from typing import NamedTuple
+import functools
+from typing import NamedTuple, Optional
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 from jax import lax
 
@@ -36,7 +57,12 @@ _UNROLL_MAX = 32
 
 
 class MarchResult(NamedTuple):
-    """Per-ray march outcome (reference RaymarchSingleResult, render.rs:1257-1264)."""
+    """Per-ray march outcome (reference RaymarchSingleResult, render.rs:1257-1264).
+
+    ``glow_pos`` is a TPU-build extension: the path position at which
+    ``min_dist`` (the glow metric's running min) was achieved, carried out so
+    the implicit VJP can evaluate the glow subgradient there. ``None`` when
+    the producer doesn't track it (the fused Pallas march kernel)."""
 
     final_dist: jnp.ndarray
     idx: jnp.ndarray
@@ -44,6 +70,8 @@ class MarchResult(NamedTuple):
     iter: jnp.ndarray  # int32
     travel_dist: jnp.ndarray
     min_dist: jnp.ndarray  # running min of the glow metric
+    glow_pos: Optional[Vec3] = None
+    glow_iter: Optional[jnp.ndarray] = None  # step index of the glow argmin
 
 
 def _object_distance(kind, org: Vec3, fnorm: Vec3, radius, pos: Vec3):
@@ -112,6 +140,182 @@ def distance_estimate(scene: Scene, pos: Vec3, ig):
     return carry
 
 
+def _march_state0(shape, init_pos: Vec3, done0):
+    return dict(
+        pos=init_pos,
+        travel=jnp.zeros(shape, jnp.float32),
+        iter=jnp.zeros(shape, jnp.int32),
+        min_dist=jnp.full(shape, _INF, jnp.float32),
+        glow_pos=init_pos,
+        glow_iter=jnp.full(shape, -1, jnp.int32),
+        final_dist=jnp.zeros(shape, jnp.float32),
+        idx=jnp.zeros(shape, jnp.int32),
+        done=done0,
+    )
+
+
+def _march_body(scene: Scene, cfg: RenderConfig, eye: Vec3, ig):
+    """One sphere-tracing step (render.rs:1276-1296), masked on done lanes."""
+
+    def body(s):
+        dist, idx, glow = distance_estimate(scene, s["pos"], ig)
+        live = ~s["done"]
+        new_pos = s["pos"] + eye * dist
+        new_iter = s["iter"] + 1
+        stop = (dist < cfg.march_eps) | (dist > cfg.far_away) | (new_iter > cfg.march_max_iter)
+        glow_upd = live & (glow < s["min_dist"])
+        return dict(
+            pos=new_pos.where(live, s["pos"]),
+            travel=jnp.where(live, s["travel"] + dist, s["travel"]),
+            iter=jnp.where(live, new_iter, s["iter"]),
+            min_dist=jnp.where(glow_upd, glow, s["min_dist"]),
+            glow_pos=s["pos"].where(glow_upd, s["glow_pos"]),
+            glow_iter=jnp.where(glow_upd, s["iter"], s["glow_iter"]),
+            final_dist=jnp.where(live, dist, s["final_dist"]),
+            idx=jnp.where(live, idx, s["idx"]),
+            done=s["done"] | (live & stop),
+        )
+
+    return body
+
+
+def _result_of(state) -> MarchResult:
+    return MarchResult(
+        final_dist=state["final_dist"],
+        idx=state["idx"],
+        pos=state["pos"],
+        iter=state["iter"],
+        travel_dist=state["travel"],
+        min_dist=state["min_dist"],
+        glow_pos=state["glow_pos"],
+        glow_iter=state["glow_iter"],
+    )
+
+
+def _march_while(scene: Scene, cfg: RenderConfig, init_pos: Vec3, eye: Vec3,
+                 ig, done0) -> MarchResult:
+    """Batched while_loop march; exits when every live lane converges, escapes
+    or passes the cap. ``init_pos``/``eye``/``done0`` pre-broadcast."""
+    shape = done0.shape
+    body = _march_body(scene, cfg, eye, ig)
+    chunk = max(1, cfg.march_chunk)
+
+    def chunk_body(s):
+        for _ in range(chunk):
+            s = body(s)
+        return s
+
+    state = lax.while_loop(
+        lambda s: jnp.any(~s["done"]),
+        chunk_body,
+        _march_state0(shape, init_pos, done0),
+    )
+    return _result_of(state)
+
+
+def _float0_like(x):
+    return np.zeros(np.shape(x), dtype=jax.dtypes.float0)
+
+
+def _ct_or_zero(ct, shape):
+    """A cotangent leaf, or concrete zeros when JAX hands back a symbolic/
+    float0 placeholder (int outputs, unused outputs)."""
+    if ct is None or getattr(ct, "dtype", None) == jax.dtypes.float0:
+        return jnp.zeros(shape, jnp.float32)
+    return ct
+
+
+@functools.lru_cache(maxsize=None)
+def _march_while_vjp(cfg: RenderConfig):
+    """While-mode march wrapped in the closed-form implicit VJP (module
+    docstring). Cotangent contract: ``pos`` (converged lanes) and ``min_dist``
+    carry gradients; ``final_dist``/``travel_dist``/``glow_pos`` are
+    comparison-only downstream and their cotangents are dropped."""
+
+    @jax.custom_vjp
+    def run(scene, init_pos, eye, ig, done0):
+        return _march_while(scene, cfg, init_pos, eye, ig, done0)
+
+    def fwd(scene, init_pos, eye, ig, done0):
+        res = _march_while(scene, cfg, init_pos, eye, ig, done0)
+        return res, (scene, eye, ig, done0, res)
+
+    def bwd(resid, ct):
+        scene, eye, ig, done0, res = resid
+        shape = done0.shape
+
+        hit = res.final_dist < cfg.march_eps
+        gpx = jnp.where(hit, _ct_or_zero(ct.pos.x, shape), 0.0)
+        gpy = jnp.where(hit, _ct_or_zero(ct.pos.y, shape), 0.0)
+        gpz = jnp.where(hit, _ct_or_zero(ct.pos.z, shape), 0.0)
+
+        # --- glow channel (render.rs:1282-1284 running min) ----------------
+        # Split by where the argmin landed. Interior argmin (closest approach
+        # before the hit/escape): continuum envelope — the path position is
+        # constant, gradients flow through the glow metric's direct scene
+        # dependence only. Endpoint argmin (the converged sample: the common
+        # case for rays hitting the glowing object itself): the argmin
+        # position *tracks the moving surface*, so its spatial sensitivity is
+        # routed into the hit-point IFT below by adding the glow metric's
+        # spatial gradient to the x* cotangent — for a ray hitting the glowing
+        # object the two terms cancel to the correct ~0 (shadowing).
+        gmin = jnp.where(jnp.isfinite(res.min_dist),
+                         _ct_or_zero(ct.min_dist, shape), 0.0)
+        end_arg = hit & (res.glow_iter == res.iter - 1)
+        gmin_end = jnp.where(end_arg, gmin, 0.0)
+        gmin_int = jnp.where(end_arg, 0.0, gmin)
+        gp = res.glow_pos
+
+        def glow_fn(sc, px, py, pz):
+            _, _, glow = distance_estimate(sc, Vec3(px, py, pz), ig)
+            return jnp.where(jnp.isfinite(glow), glow, 0.0)
+
+        _, gvjp = jax.vjp(glow_fn, scene, gp.x, gp.y, gp.z)
+        sc_ct_gi, _, _, _ = gvjp(gmin_int)
+        sc_ct_ge, gex, gey, gez = gvjp(gmin_end)
+        gpx = gpx + gex
+        gpy = gpy + gey
+        gpz = gpz + gez
+
+        # --- hit point via the implicit function theorem --------------------
+        # D(x, θ) and its vjp at the hit point; the min-over-objects where-
+        # chain in distance_estimate routes the cotangent to the winner.
+        def dist_fn(sc, px, py, pz):
+            d, _, _ = distance_estimate(sc, Vec3(px, py, pz), ig)
+            return d
+
+        x = res.pos
+        _, dvjp = jax.vjp(dist_fn, scene, x.x, x.y, x.z)
+        # ∇D·e — directional derivative along the ray (negative approaching a
+        # front-facing surface); grazing hits are gradient-hygiene zeros.
+        _, ddt = jax.jvp(
+            lambda px, py, pz: dist_fn(scene, px, py, pz),
+            (x.x, x.y, x.z), (eye.x, eye.y, eye.z),
+        )
+        safe = hit & (jnp.abs(ddt) > 1e-5)
+        sbar = gpx * eye.x + gpy * eye.y + gpz * eye.z  # cotangent on t*
+        w = jnp.where(safe, -sbar / jnp.where(safe, ddt, 1.0), 0.0)
+        sc_ct1, gx1, gy1, gz1 = dvjp(w)
+
+        # x* = p0 + e·t*:  p̄0 = ḡ + w∇D;  ē = t*·p̄0 (see module docstring).
+        p0_bar = Vec3(gpx + gx1, gpy + gy1, gpz + gz1)
+        t_star = jnp.where(hit, res.travel_dist, 0.0)
+        eye_bar = Vec3(p0_bar.x * t_star, p0_bar.y * t_star, p0_bar.z * t_star)
+
+        def add(a, *bs):
+            if getattr(a, "dtype", None) == jax.dtypes.float0:
+                return a
+            for b in bs:
+                a = a + b
+            return a
+
+        scene_bar = jax.tree_util.tree_map(add, sc_ct1, sc_ct_gi, sc_ct_ge)
+        return scene_bar, p0_bar, eye_bar, _float0_like(ig), _float0_like(done0)
+
+    run.defvjp(fwd, bwd)
+    return run
+
+
 def march_single(scene: Scene, cfg: RenderConfig, init_pos: Vec3, eye: Vec3, ig,
                  active=None) -> MarchResult:
     """Sphere-trace one ray batch until ``dist < eps``, ``dist > far`` or the
@@ -123,73 +327,38 @@ def march_single(scene: Scene, cfg: RenderConfig, init_pos: Vec3, eye: Vec3, ig,
     while exits as soon as the lanes that actually need this march settle
     (e.g. shadow/refraction sub-marches only concern hit/transparent lanes).
     Inactive lanes return their initial state; callers mask the results.
+
+    Differentiable in both modes: the default while-loop path via the implicit
+    VJP (module docstring), the ``cfg.differentiable`` scan path by ordinary
+    reverse-mode AD through the fixed step budget.
     """
     shape = jnp.broadcast_shapes(init_pos.shape, eye.shape)
     eye = eye.broadcast_to(shape)
+    init_pos = init_pos.broadcast_to(shape)
     done0 = (
         jnp.zeros(shape, bool)
         if active is None
         else ~jnp.broadcast_to(active, shape)
     )
-    state = dict(
-        pos=init_pos.broadcast_to(shape),
-        travel=jnp.zeros(shape, jnp.float32),
-        iter=jnp.zeros(shape, jnp.int32),
-        min_dist=jnp.full(shape, _INF, jnp.float32),
-        final_dist=jnp.zeros(shape, jnp.float32),
-        idx=jnp.zeros(shape, jnp.int32),
-        done=done0,
+
+    if not cfg.differentiable:
+        ig = jnp.broadcast_to(ig, shape)
+        return _march_while_vjp(cfg)(scene, init_pos, eye, ig, done0)
+
+    state = _march_state0(shape, init_pos, done0)
+    body = _march_body(scene, cfg, eye, ig)
+
+    def scan_body(s, _):
+        return body(s), None
+
+    state, _ = lax.scan(scan_body, state, None, length=cfg.march_budget)
+    # Budget-exhausted rays count as escaped (reference lets them run to
+    # MAX_ITER and then treats them as lit/sky); force iter past the cap.
+    exhausted = ~state["done"]
+    state["iter"] = jnp.where(
+        exhausted, jnp.int32(cfg.march_max_iter + 1), state["iter"]
     )
-
-    def body(s):
-        dist, idx, glow = distance_estimate(scene, s["pos"], ig)
-        live = ~s["done"]
-        new_pos = s["pos"] + eye * dist
-        new_iter = s["iter"] + 1
-        stop = (dist < cfg.march_eps) | (dist > cfg.far_away) | (new_iter > cfg.march_max_iter)
-        return dict(
-            pos=new_pos.where(live, s["pos"]),
-            travel=jnp.where(live, s["travel"] + dist, s["travel"]),
-            iter=jnp.where(live, new_iter, s["iter"]),
-            min_dist=jnp.where(live & (glow < s["min_dist"]), glow, s["min_dist"]),
-            final_dist=jnp.where(live, dist, s["final_dist"]),
-            idx=jnp.where(live, idx, s["idx"]),
-            done=s["done"] | (live & stop),
-        )
-
-    if cfg.differentiable:
-        def scan_body(s, _):
-            return body(s), None
-
-        state, _ = lax.scan(scan_body, state, None, length=cfg.march_budget)
-        # Budget-exhausted rays count as escaped (reference lets them run to
-        # MAX_ITER and then treats them as lit/sky); force iter past the cap.
-        exhausted = ~state["done"]
-        state["iter"] = jnp.where(
-            exhausted, jnp.int32(cfg.march_max_iter + 1), state["iter"]
-        )
-        state["final_dist"] = jnp.where(
-            exhausted, jnp.float32(cfg.far_away * 2), state["final_dist"]
-        )
-    else:
-        chunk = max(1, cfg.march_chunk)
-
-        def chunk_body(s):
-            for _ in range(chunk):
-                s = body(s)
-            return s
-
-        state = lax.while_loop(
-            lambda s: jnp.any(~s["done"]),
-            chunk_body,
-            state,
-        )
-
-    return MarchResult(
-        final_dist=state["final_dist"],
-        idx=state["idx"],
-        pos=state["pos"],
-        iter=state["iter"],
-        travel_dist=state["travel"],
-        min_dist=state["min_dist"],
+    state["final_dist"] = jnp.where(
+        exhausted, jnp.float32(cfg.far_away * 2), state["final_dist"]
     )
+    return _result_of(state)

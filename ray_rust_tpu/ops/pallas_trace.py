@@ -732,17 +732,15 @@ def _fast_fn(cfg: RenderConfig):
 @functools.lru_cache(maxsize=None)
 def _fast_march_fn(cfg: RenderConfig):
     """custom_vjp pairing for march mode: fused Pallas march kernel forward
-    (ops/pallas_march.py), jnp scan-path backward. March gradients require the
-    fixed-budget differentiable march (config.py), so the backward re-renders
-    under ``cfg.differentiable=True``."""
+    (ops/pallas_march.py), jnp while-march backward. The backward re-renders
+    through the batched while_loop march, whose gradients are the closed-form
+    implicit VJP (ops/march.py) — no fixed-budget scan unrolling."""
     from .rays import camera_rays
     from .trace import trace_image
 
-    dcfg = cfg.with_(differentiable=True)
-
     def jnp_forward(scene):
-        vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, dcfg)
-        return trace_image(scene, dcfg, vi, eye)
+        vi, eye = camera_rays(scene.camera.position, scene.camera.rotation, cfg)
+        return trace_image(scene, cfg, vi, eye)
 
     from .pallas_march import render_color_pallas_march
 

@@ -230,3 +230,48 @@ def test_march_differentiable_mode(scene):
     gx = np.asarray(g.objects.org.x)
     assert np.all(np.isfinite(gx))
     assert np.any(gx != 0.0)
+
+
+def test_march_implicit_vjp_matches_scan(scene):
+    """The closed-form implicit VJP through the while-loop march
+    (ops/march.py) vs the brute-force scan-path AD, geometry only: the hit
+    point is an SDF root, so the IFT gradient must equal the unrolled
+    gradient up to march convergence tolerance."""
+    base = rt.RenderConfig(xres=16, yres=12, use_raymarching=True,
+                           max_refractions=1, march_max_iter=512)
+    cfg_scan = base.with_(differentiable=True, march_budget=256)
+
+    def loss(cy, cfg):
+        objs = scene.objects
+        s = scene._replace(objects=objs._replace(
+            org=objs.org._replace(y=objs.org.y.at[3].set(cy))))
+        img = render_color(s, cfg)
+        return jnp.mean(img.r + img.g + img.b)
+
+    y0 = jnp.float32(float(scene.objects.org.y[3]))
+    g_impl = float(jax.grad(lambda c: loss(c, base))(y0))
+    g_scan = float(jax.grad(lambda c: loss(c, cfg_scan))(y0))
+    np.testing.assert_allclose(g_impl, g_scan, rtol=5e-3)
+
+
+def test_march_implicit_vjp_glow_contract(scene):
+    """Glow gradients through the implicit VJP: endpoint-argmin lanes route
+    through the hit-point IFT (exact shadowing), interior-argmin lanes use the
+    continuum envelope — same sign and order as the discrete scan-path
+    derivative, not bit-equal (documented contract, ops/march.py)."""
+    base = rt.RenderConfig(xres=16, yres=12, use_raymarching=True,
+                           glow_effect=1.0, max_refractions=1,
+                           march_max_iter=512)
+    cfg_scan = base.with_(differentiable=True, march_budget=256)
+
+    def loss(r, cfg):
+        objs = scene.objects
+        s = scene._replace(objects=objs._replace(radius=objs.radius.at[3].set(r)))
+        img = render_color(s, cfg)
+        return jnp.mean(img.r + img.g + img.b)
+
+    r0 = jnp.float32(80.0)
+    g_impl = float(jax.grad(lambda r: loss(r, base))(r0))
+    g_scan = float(jax.grad(lambda r: loss(r, cfg_scan))(r0))
+    assert np.isfinite(g_impl)
+    np.testing.assert_allclose(g_impl, g_scan, rtol=0.1)

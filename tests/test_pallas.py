@@ -105,8 +105,8 @@ def test_pallas_march_matches_jnp():
 
 
 def test_fast_path_march_gradients_route_through_jnp():
-    """render_color_fast in march mode: Pallas march forward, differentiable
-    scan-march backward."""
+    """render_color_fast in march mode: Pallas march forward, backward through
+    the jnp while-march with the implicit VJP (ops/march.py)."""
     import jax
     import jax.numpy as jnp
 
@@ -123,8 +123,7 @@ def test_fast_path_march_gradients_route_through_jnp():
         img = render_fn(s, c)
         return jnp.sum(img.r)
 
-    dcfg = cfg.with_(differentiable=True)
-    g_ref = jax.grad(lambda ly: loss(ly, render_jnp, dcfg))(jnp.float32(0.6))
+    g_ref = jax.grad(lambda ly: loss(ly, render_jnp, cfg))(jnp.float32(0.6))
     g_fast = jax.grad(lambda ly: loss(ly, render_color_fast, cfg))(jnp.float32(0.6))
     assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
 
