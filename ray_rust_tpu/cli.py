@@ -4,8 +4,13 @@
 -w/--webserver, -p/--port_no.
 
 ``--threads`` is accepted for compatibility; on TPU the scanline thread pool
-is replaced by on-device tiling, so it maps to the row-tile count used when
-splitting very large images (and is otherwise a no-op).
+is replaced by on-device tiling, so it maps to the jnp march path's row-band
+count (``RenderConfig.march_tiles``) and to the animation frame-writer pool
+size — the two places host/band concurrency still exists.
+
+On TPU the fused Pallas kernels are the default render path (the reference
+binary's default path is its fastest path, src/main.rs:338); ``--no-pallas``
+forces the jnp/XLA path.
 """
 
 from __future__ import annotations
@@ -29,7 +34,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("width", type=int, help="Width of the image [px]")
     p.add_argument("height", type=int, help="Height of the image [px]")
     p.add_argument("-t", "--threads", type=int, default=8,
-                   help="thread count (compat; maps to device tile count)")
+                   help="thread count (compat; maps to march row-band count "
+                        "and the animation frame-writer pool size)")
     p.add_argument("-o", "--output", default="foo.png", help="Output file name")
     p.add_argument("-m", "--raymarch", action="store_true", help="Use ray marching")
     p.add_argument("-g", "--gloweffect", type=float, default=None,
@@ -51,6 +57,9 @@ def build_parser() -> argparse.ArgumentParser:
                    help="Override the scene's refraction depth cap")
     p.add_argument("--max_reflections", type=int, default=None,
                    help="Override the scene's reflection depth cap")
+    p.add_argument("--no-pallas", action="store_true",
+                   help="Force the jnp/XLA path (fused kernels are the "
+                        "default on TPU)")
     return p
 
 
@@ -82,6 +91,8 @@ def main(argv=None) -> int:
         yfov=yfov,
         use_raymarching=args.raymarch,
         glow_effect=args.gloweffect,
+        march_tiles=max(1, args.threads),
+        use_pallas=False if args.no_pallas else None,  # None = on-TPU auto
         **caps,
     )
 
@@ -112,8 +123,15 @@ def main(argv=None) -> int:
             if errors:
                 print(f"frame writer: {errors} failed writes", file=sys.stderr)
     else:
-        img = render_u8(scene, cfg)
-        save_png(args.output, img)
+        # Start from the reference's debug gradient prefill (main.rs:138-146)
+        # — visible only where the renderer leaves pixels unwritten (it never
+        # does for a full-frame render; kept for byte-parity of the buffer
+        # lifecycle).
+        from .utils.image import gradient_prefill
+
+        buf = gradient_prefill(args.width, args.height)
+        buf[:, :] = render_u8(scene, cfg)
+        save_png(args.output, buf)
     elapsed = time.time() - start
     # "Rendering time: s.micros" (main.rs:343-348)
     print("Rendering time: %d.%06d" % (int(elapsed), int((elapsed % 1) * 1e6)))

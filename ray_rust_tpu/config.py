@@ -80,12 +80,15 @@ class RenderConfig:
     # render.rs:661, is never serialized — sky is always code).
     bg: str = "default_sky"
 
-    # Fused Pallas trace kernel (ops/pallas_trace.py). When True and the
-    # scene/config is in the kernel's support (ray-trace mode, no image
-    # textures), the forward runs as one VMEM-resident kernel over row tiles;
-    # gradients route through the jnp path via custom_vjp. pallas_rows is the
+    # Fused Pallas kernels (ops/pallas_trace.py, ops/pallas_march.py). When
+    # enabled and the scene/config is in a kernel's support, the forward runs
+    # as one VMEM-resident kernel over row tiles; gradients route through the
+    # fused backward kernel or the jnp path via custom_vjp. ``None`` = auto:
+    # kernels on when running on TPU (the reference binary's default path IS
+    # its fastest path, src/main.rs:338 — ours too), jnp path elsewhere
+    # (interpret-mode kernels are slower than XLA:CPU). pallas_rows is the
     # tile height (sublane-aligned multiples of 8).
-    use_pallas: bool = False
+    use_pallas: Optional[bool] = None
     pallas_rows: int = 8
     # Column-tile width for the FORWARD kernels (trace + march). Narrower
     # tiles bound each tile's worst lane: the tile-level early exit and the
@@ -106,6 +109,12 @@ class RenderConfig:
     # scene-gradient reduction — runs in VMEM; per-tile partials are summed
     # on the way out). False routes gradients through the jnp path.
     pallas_bwd: bool = False
+    # Tile-level pruning for the backward kernel: a cheap in-kernel forward
+    # probe classifies each tile (all-terminal / reflective / refractive) and
+    # dispatches one of three pre-differentiated program variants — the
+    # backward's answer to the forward's tile-level early exit, which
+    # reverse-mode AD cannot cross (see ops/pallas_trace.py:_make_bwd_kernel).
+    pallas_bwd_prune: bool = True
     # Column-tile width for the backward kernel's 2D grid. The reverse sweep
     # holds every forward intermediate of a tile live simultaneously, so the
     # tile must be bounded in both dimensions: a full 1920-wide row tile
@@ -128,6 +137,14 @@ class RenderConfig:
 
     def resolved_yfov(self) -> float:
         return self.yfov if self.yfov is not None else self.yres / self.xres
+
+    def pallas_enabled(self) -> bool:
+        """Resolve the ``use_pallas`` tri-state (None = on-TPU auto)."""
+        if self.use_pallas is not None:
+            return self.use_pallas
+        import jax
+
+        return jax.default_backend() == "tpu"
 
     def with_(self, **kw) -> "RenderConfig":
         return dataclasses.replace(self, **kw)

@@ -48,6 +48,7 @@ from .pallas_trace import (
     _pack_scene,
     _pattern_diffuse,
     _powf,
+    _tile_origin,
     _tile_rays,
 )
 from .sky import get_bg
@@ -66,7 +67,9 @@ def pallas_march_supported(scene: Scene, cfg: RenderConfig) -> bool:
         tex_ids = np.asarray(scene.textures.widths)
         if tex_ids.size and np.asarray(scene.materials.texture_id).max() >= 0:
             return False
-    return scene.objects.count <= 64
+    from .pallas_trace import _KERNEL_OBJECT_MAX
+
+    return scene.objects.count <= _KERNEL_OBJECT_MAX
 
 
 def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
@@ -260,10 +263,13 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
 
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
                  tile_cols: int, col_grid: bool):
-    def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, r_ref, g_ref,
+               b_ref):
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
-        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols,
-                             col_grid=col_grid)
+        row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
+        row0 = row0 + org_ref[0, 0]
+        col0 = col0 + org_ref[0, 1]
+        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
 
         ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
         flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
@@ -278,13 +284,17 @@ def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 
 
 def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
-                              interpret: bool | None = None) -> Color:
+                              interpret: bool | None = None,
+                              origin=None, shape=None) -> Color:
     """Forward march render through the fused Pallas kernel. Not
     differentiable — use pallas_trace.render_color_fast for the custom-VJP
     pairing. Column tiling (cfg.pallas_cols) matters even more here than for
     the trace kernel: every while_loop (march, shadow march) runs to the
     slowest live lane in the tile, and horizon-grazing rays need ~1500 SDF
-    steps while sphere hits need ~10."""
+    steps while sphere hits need ~10.
+
+    ``origin``/``shape``: render a sub-rectangle of the global image (see
+    pallas_trace.render_color_pallas)."""
     if not pallas_march_supported(scene, cfg):
         raise ValueError("scene/config outside the fused march kernel's "
                          "support; use the jnp path")
@@ -293,12 +303,19 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
 
     from .pallas_trace import fwd_grid_spec
 
-    h, w = cfg.yres, cfg.xres
+    h, w = shape if shape is not None else (cfg.yres, cfg.xres)
     tile_rows = cfg.pallas_rows
-    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(cfg)
+    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(
+        cfg, (h, w))
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)
+    if origin is None:
+        org = jnp.zeros((1, 2), jnp.int32)
+    else:
+        org = jnp.stack(
+            [jnp.asarray(origin[0]), jnp.asarray(origin[1])]
+        ).astype(jnp.int32).reshape(1, 2)
     kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
@@ -306,11 +323,11 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem()],
+        in_specs=[smem(), smem(), smem(), smem(), smem()],
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
-    )(f32t, i32t, cam, light)
+    )(f32t, i32t, cam, light, org)
 
     if h_pad != h or w_pad != w:
         r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]

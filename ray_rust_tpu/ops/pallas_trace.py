@@ -62,6 +62,15 @@ _F32_COLS = 19  # org xyz, normal xyz, diffuse rgb, specular rgb, pn, t, n,
 _I32_COLS = 4  # kind, pattern, uvmap, pad
 
 
+# Object count up to which the kernel's raycast/gather/SDF loops fully unroll
+# into straight-line compare-selects; above it they become ``fori_loop``s over
+# the SMEM table (dynamic scalar reads — no code-size blowup, same values).
+_KERNEL_UNROLL_MAX = 64
+# Hard cap: the object table must fit SMEM comfortably (19 f32 + 4 i32 per
+# object ≈ 92 B/object; 512 objects ≈ 47 KB).
+_KERNEL_OBJECT_MAX = 512
+
+
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
     """The fused kernel covers the ray-trace mode without image textures."""
     if cfg.use_raymarching:
@@ -73,7 +82,7 @@ def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
         tex_ids = _np.asarray(scene.textures.widths)
         if tex_ids.size and _np.asarray(scene.materials.texture_id).max() >= 0:
             return False
-    return scene.objects.count <= 64
+    return scene.objects.count <= _KERNEL_OBJECT_MAX
 
 
 def _pack_scene(scene: Scene):
@@ -130,94 +139,135 @@ def _pack_scene(scene: Scene):
 
 
 class _KernelScene:
-    """Per-object scalars read once from SMEM + scene-free trace helpers.
+    """Per-object scalars from SMEM + scene-free trace helpers.
 
-    ``objs[i]`` is a dict of rank-0 jnp values; all "gathers" are unrolled
-    compare-selects over the static object count."""
+    Two regimes by object count: up to ``_KERNEL_UNROLL_MAX`` every
+    raycast/gather/SDF loop fully unrolls into straight-line compare-selects
+    over rank-0 values read at trace time; above it the loops become
+    ``lax.fori_loop``s whose bodies read the SMEM table at the traced index —
+    the TPU-native form of the reference's unbounded linear scan
+    (src/render.rs:993-1018) with O(1) code size in the object count.
+    ``unroll=True`` forces the unrolled regime (required when the table rows
+    are traced scalar tuples — the backward kernel's ``_Rows`` adapters can't
+    be indexed dynamically)."""
 
-    def __init__(self, f32_ref, i32_ref, light_ref, n_objects: int):
+    def __init__(self, f32_ref, i32_ref, light_ref, n_objects: int,
+                 unroll: bool | None = None):
         self.n = n_objects
+        self.f32 = f32_ref
+        self.i32 = i32_ref
         self.light = Vec3(light_ref[0, 0], light_ref[0, 1], light_ref[0, 2])
-        self.objs = []
-        for i in range(n_objects):
-            f = [f32_ref[i, c] for c in range(_F32_COLS)]
-            self.objs.append(
-                dict(
-                    org=Vec3(f[0], f[1], f[2]),
-                    normal=Vec3(f[3], f[4], f[5]),
-                    diffuse=Color(f[6], f[7], f[8]),
-                    specular=Color(f[9], f[10], f[11]),
-                    pn=f[12],
-                    transparency=f[13],
-                    refraction=f[14],
-                    pattern_scale=f[15],
-                    pattern_angle_scale=f[16],
-                    radius=f[17],
-                    glow_dist=f[18],
-                    kind=i32_ref[i, 0],
-                    pattern=i32_ref[i, 1],
-                    uvmap=i32_ref[i, 2],
-                )
-            )
+        self.unrolled = (n_objects <= _KERNEL_UNROLL_MAX if unroll is None
+                         else unroll)
+        self.objs = (
+            [self._obj_at(i) for i in range(n_objects)] if self.unrolled
+            else None
+        )
 
-    # -- nearest hit (render.rs:993-1018), unrolled over objects -------------
+    def _obj_at(self, i):
+        """One object's fields; ``i`` is a static int in the unrolled regime,
+        a traced index in the fori_loop regime (SMEM scalar reads support
+        dynamic indices)."""
+        f, g = self.f32, self.i32
+        return dict(
+            org=Vec3(f[i, 0], f[i, 1], f[i, 2]),
+            normal=Vec3(f[i, 3], f[i, 4], f[i, 5]),
+            diffuse=Color(f[i, 6], f[i, 7], f[i, 8]),
+            specular=Color(f[i, 9], f[i, 10], f[i, 11]),
+            pn=f[i, 12],
+            transparency=f[i, 13],
+            refraction=f[i, 14],
+            pattern_scale=f[i, 15],
+            pattern_angle_scale=f[i, 16],
+            radius=f[i, 17],
+            glow_dist=f[i, 18],
+            kind=g[i, 0],
+            pattern=g[i, 1],
+            uvmap=g[i, 2],
+        )
+
+    # -- nearest hit (render.rs:993-1018) ------------------------------------
     def raycast(self, vi: Vec3, eye: Vec3, ig, flags):
         t = jnp.full(vi.shape, _BIG, jnp.float32)
         idx = jnp.zeros(vi.shape, jnp.int32)
-        for i, o in enumerate(self.objs):
-            cand = object_candidate_t(
-                o["kind"], o["org"], o["radius"], o["normal"], vi, eye, t, flags
-            )
-            cand = jnp.where(jnp.int32(i) == ig, _BIG, cand)
-            closer = cand < t
-            t = jnp.where(closer, cand, t)
-            idx = jnp.where(closer, jnp.int32(i), idx)
-        return t, idx
 
-    # -- per-hit field fetch: unrolled select (replaces ops/gather.py) -------
+        def one(i, o, t, idx):
+            cand = object_candidate_t(
+                o["kind"], o["org"], o["radius"], o["normal"], vi, eye, t,
+                flags
+            )
+            cand = jnp.where(i == ig, _BIG, cand)
+            closer = cand < t
+            return jnp.where(closer, cand, t), jnp.where(closer, i, idx)
+
+        if self.unrolled:
+            for i, o in enumerate(self.objs):
+                t, idx = one(jnp.int32(i), o, t, idx)
+            return t, idx
+
+        def body(i, carry):
+            return one(i, self._obj_at(i), *carry)
+
+        return lax.fori_loop(0, self.n, body, (t, idx))
+
+    # -- per-hit field fetch (replaces ops/gather.py) ------------------------
     def gather(self, idx) -> HitFields:
-        def sel(key):
+        shape = jnp.shape(idx)
+
+        if self.unrolled:
             out = jax.tree_util.tree_map(
-                lambda v: jnp.broadcast_to(v, jnp.shape(idx)), self.objs[0][key]
+                lambda v: jnp.broadcast_to(v, shape), self.objs[0]
             )
             for i in range(1, self.n):
                 out = jax.tree_util.tree_map(
                     lambda cur, new: jnp.where(idx == jnp.int32(i), new, cur),
-                    out,
-                    self.objs[i][key],
+                    out, self.objs[i],
                 )
-            return out
+        else:
+            zero = self._obj_at(jnp.int32(0))
+            out = jax.tree_util.tree_map(
+                lambda v: jnp.broadcast_to(v, shape), zero
+            )
 
-        zero_i = jnp.zeros(jnp.shape(idx), jnp.int32)
+            def body(i, out):
+                o = self._obj_at(i)
+                return jax.tree_util.tree_map(
+                    lambda cur, new: jnp.where(idx == i, new, cur), out, o
+                )
+
+            out = lax.fori_loop(1, self.n, body, out)
+
+        zero_i = jnp.zeros(shape, jnp.int32)
         return HitFields(
-            kind=sel("kind"),
-            uvmap=sel("uvmap"),
+            kind=out["kind"],
+            uvmap=out["uvmap"],
             mat_id=zero_i,
-            pattern=sel("pattern"),
+            pattern=out["pattern"],
             texture_id=zero_i - 1,
             texture_filter=zero_i,
-            org=sel("org"),
-            normal=sel("normal"),
-            diffuse=sel("diffuse"),
-            specular=sel("specular"),
-            pn=sel("pn"),
-            transparency=sel("transparency"),
-            refraction=sel("refraction"),
-            pattern_scale=sel("pattern_scale"),
-            pattern_angle_scale=sel("pattern_angle_scale"),
+            org=out["org"],
+            normal=out["normal"],
+            diffuse=out["diffuse"],
+            specular=out["specular"],
+            pn=out["pn"],
+            transparency=out["transparency"],
+            refraction=out["refraction"],
+            pattern_scale=out["pattern_scale"],
+            pattern_angle_scale=out["pattern_angle_scale"],
         )
 
     def normal_at(self, fields: HitFields, pt: Vec3) -> Vec3:
         sphere_n = (pt - fields.org).normalized()
         return sphere_n.where(fields.kind == KIND_SPHERE, fields.normal)
 
-    # -- scene SDF + glow metric (render.rs:1226-1251), unrolled -------------
+    # -- scene SDF + glow metric (render.rs:1226-1251) -----------------------
     def distance_estimate(self, pos: Vec3, ig):
         """Mirrors ops/march.py:distance_estimate over the SMEM object table."""
         closest = jnp.full(pos.shape, _BIG, jnp.float32)
         idx = jnp.zeros(pos.shape, jnp.int32)
         glowing = jnp.full(pos.shape, _BIG, jnp.float32)
-        for i, o in enumerate(self.objs):
+
+        def one(i, o, closest, idx, glowing):
             delta = o["org"] - pos
             sq = delta.squared_len()
             length = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
@@ -226,14 +276,25 @@ class _KernelScene:
             )
             d_floor = jnp.maximum((pos - o["org"]).dot(o["normal"]), 0.0)
             dist = jnp.where(o["kind"] == KIND_SPHERE, d_sphere, d_floor)
-            skip = jnp.int32(i) == ig
+            skip = i == ig
             closer = ~skip & (dist < closest)
             closest = jnp.where(closer, dist, closest)
-            idx = jnp.where(closer, jnp.int32(i), idx)
+            idx = jnp.where(closer, i, idx)
             glow = dist * o["glow_dist"]
             gupd = ~skip & (glow > 0.0) & (glow < glowing)
             glowing = jnp.where(gupd, glow, glowing)
-        return closest, idx, glowing
+            return closest, idx, glowing
+
+        if self.unrolled:
+            for i, o in enumerate(self.objs):
+                closest, idx, glowing = one(jnp.int32(i), o, closest, idx,
+                                            glowing)
+            return closest, idx, glowing
+
+        def body(i, carry):
+            return one(i, self._obj_at(i), *carry)
+
+        return lax.fori_loop(0, self.n, body, (closest, idx, glowing))
 
 
 def _pattern_diffuse(fields: HitFields, uv) -> Color:
@@ -415,18 +476,26 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     return state[5]
 
 
+def _tile_origin(tile_rows: int, tile_cols: int, col_grid: bool):
+    """This program's global pixel origin. Must be evaluated at kernel top
+    level (``pl.program_id`` has no lowering inside traced while bodies in
+    interpret mode); pass the result into :func:`_tile_rays`."""
+    row0 = pl.program_id(0) * tile_rows
+    col0 = pl.program_id(1) * tile_cols if col_grid else 0
+    return row0, col0
+
+
 def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
-               col_grid: bool = False):
+               row0, col0):
     """This tile's camera rays (render.rs:808-815): pixel grid offset by the
-    program's (row, col) tile, rotated by the camera quaternion from SMEM
-    scalars. ``col_grid`` marks a 2D grid whose second axis tiles columns
-    (``width`` is then the column-tile width)."""
+    tile's global origin ``(row0, col0)``, rotated by the camera quaternion
+    from SMEM scalars. Ray formulas keep absolute pixel coordinates, so the
+    same kernel serves monolithic renders, column-tiled grids, and per-device
+    shards (the origin then includes the device offset)."""
     xres, yres = cfg.xres, cfg.yres
     xfov = np.float32(cfg.xfov)
     yfov = np.float32(cfg.resolved_yfov())
 
-    row0 = pl.program_id(0) * tile_rows
-    col0 = pl.program_id(1) * width if col_grid else 0
     ix = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 1) + col0
     iy = lax.broadcasted_iota(jnp.int32, (tile_rows, width), 0) + row0
 
@@ -459,12 +528,17 @@ def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
                  tile_cols: int, col_grid: bool):
     """Kernel body: generate this tile's camera rays (render.rs:808-815) and
-    trace them to completion without leaving VMEM."""
+    trace them to completion without leaving VMEM. ``org_ref`` carries the
+    caller's global pixel origin (nonzero when this launch renders one
+    device's shard of a mesh-partitioned image — parallel/shard.py)."""
 
-    def kernel(f32_ref, i32_ref, cam_ref, light_ref, r_ref, g_ref, b_ref):
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, r_ref, g_ref,
+               b_ref):
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
-        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols,
-                             col_grid=col_grid)
+        row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
+        row0 = row0 + org_ref[0, 0]
+        col0 = col0 + org_ref[0, 1]
+        vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
 
         ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
         flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
@@ -477,13 +551,14 @@ def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
     return kernel
 
 
-def fwd_grid_spec(cfg: RenderConfig):
+def fwd_grid_spec(cfg: RenderConfig, shape=None):
     """Shared forward-kernel tiling: (grid, out_specs, padded shape,
     tile_cols, col_grid). Column tiles (``cfg.pallas_cols``) bound each
     tile's worst lane: the tile-level early exit (_tile_cond) and the march
     while_loop both run to their slowest lane, so narrower tiles skip more
-    dead work. 0 = full image width (single column tile, 1D grid)."""
-    h, w = cfg.yres, cfg.xres
+    dead work. 0 = full image width (single column tile, 1D grid).
+    ``shape`` overrides the output extent (a device's shard of the image)."""
+    h, w = shape if shape is not None else (cfg.yres, cfg.xres)
     tile_rows = cfg.pallas_rows
     tile_cols = min(cfg.pallas_cols, w) if cfg.pallas_cols else w
     h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
@@ -502,25 +577,38 @@ def fwd_grid_spec(cfg: RenderConfig):
 
 
 def render_color_pallas(scene: Scene, cfg: RenderConfig,
-                        interpret: bool | None = None) -> Color:
+                        interpret: bool | None = None,
+                        origin=None, shape=None) -> Color:
     """Forward render through the fused Pallas kernel. Not differentiable —
     use :func:`render_color_fast` for the custom-VJP pairing.
 
     ``interpret=None`` auto-selects: compiled on TPU, interpreter elsewhere
     (the Mosaic compiler only targets TPU; interpret mode keeps the whole
-    path testable on the CPU backend)."""
+    path testable on the CPU backend).
+
+    ``origin``/``shape`` render a sub-rectangle of the global image — the
+    ray formulas keep absolute pixel coordinates, so a device holding one
+    shard of a mesh-partitioned image passes its global offset here
+    (parallel/shard.py); origin components may be traced (axis_index)."""
     if not pallas_supported(scene, cfg):
         raise ValueError("scene/config outside the fused kernel's support "
                          "(march mode or image textures); use the jnp path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
-    h, w = cfg.yres, cfg.xres
+    h, w = shape if shape is not None else (cfg.yres, cfg.xres)
     tile_rows = cfg.pallas_rows
-    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(cfg)
+    grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(
+        cfg, (h, w))
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)
+    if origin is None:
+        org = jnp.zeros((1, 2), jnp.int32)
+    else:
+        org = jnp.stack(
+            [jnp.asarray(origin[0]), jnp.asarray(origin[1])]
+        ).astype(jnp.int32).reshape(1, 2)
     kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
@@ -528,11 +616,11 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem()],
+        in_specs=[smem(), smem(), smem(), smem(), smem()],
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
-    )(f32t, i32t, cam, light)
+    )(f32t, i32t, cam, light, org)
 
     if h_pad != h or w_pad != w:
         r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]
@@ -553,6 +641,75 @@ class _Rows:
         return self.rows[i][c]
 
 
+def _probe_case(ks: _KernelScene, cfg: RenderConfig, cam_ref, tile_rows: int,
+                tile_cols: int, row0, col0):
+    """Cheap in-kernel forward probe classifying this tile for the pruned
+    backward (no shadows, no sky, no shading — just the bounce chain's
+    raycast/throughput/termination logic, render.rs:1156-1209):
+
+    * 0 — every lane terminates at bounce 1 and no transparent hit: the
+      one-bounce refraction-free program's gradients equal the full ones.
+    * 1 — reflections continue but no transparent hit anywhere in the chain:
+      the refraction-free full-depth program suffices (no sub-trace ever
+      spawns because subtrees only spawn at transparent hits).
+    * 2 — some lane hits a transparent material: full program.
+
+    Conservative by construction: flags are OR'd over exactly the lanes whose
+    shading contributions are unmasked in the real program."""
+    shape = (tile_rows, tile_cols)
+    vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
+    state = (
+        vi, eye,
+        jnp.zeros(shape, jnp.int32),              # flags
+        jnp.full(shape, -1, jnp.int32),           # ig
+        Color.full(1.0, 1.0, 1.0, shape),          # fcs
+        jnp.ones(shape, jnp.int32),                # active
+        jnp.int32(0),                              # any_refr
+    )
+
+    def make_step(lev_i):
+        def fn(state):
+            vi, eye, flags, ig, fcs, active_i, any_refr = state
+            active = active_i != 0
+            t, idx = ks.raycast(vi, eye, ig, flags)
+            hit = jnp.isfinite(t)
+            fields = ks.gather(idx)
+            m = active & hit
+            any_refr = jnp.maximum(
+                any_refr,
+                jnp.any(m & (fields.transparency > 0.0)).astype(jnp.int32),
+            )
+            fcs = Color(
+                jnp.where(m, fcs.r * fields.specular.r, fcs.r),
+                jnp.where(m, fcs.g * fields.specular.g, fcs.g),
+                jnp.where(m, fcs.b * fields.specular.b, fcs.b),
+            )
+            cont = (m & (idx != 0) & (fcs.sum() > 0.1)
+                    & (lev_i < cfg.max_reflections))
+            t_safe = jnp.where(hit, t, 0.0)
+            pt = vi + eye * t_safe
+            n = ks.normal_at(fields, pt)
+            vi, eye, flags, ig = _reflect_update(vi, eye, flags, ig, pt, n,
+                                                 idx, cont)
+            return (vi, eye, flags, ig, fcs, cont.astype(jnp.int32), any_refr)
+
+        return fn
+
+    cont1 = jnp.int32(0)
+    for step in range(cfg.max_reflections):
+        fn = make_step(step + 1)
+        if step > 0:
+            # skip dead bounces — probe cost for terminal tiles is 1 raycast
+            state = _tile_cond(jnp.max(state[5]) > 0, fn, state)
+        else:
+            state = fn(state)
+        if step == 0:
+            cont1 = jnp.max(state[5])
+    any_refr = state[6]
+    return jnp.where(any_refr > 0, jnp.int32(2),
+                     jnp.where(cont1 > 0, jnp.int32(1), jnp.int32(0)))
+
+
 def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
                      tile_cols: int, n_out: int, col_grid: bool):
     """Backward kernel body: re-trace this tile (whole-program remat — zero
@@ -569,14 +726,29 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
     BOTH dimensions to fit the register/VMEM budget (a full 1920-wide row
     tile spills ~140MB at f32).
 
-    Tile-level early exit is disabled in the traced function: the skip
+    Tile-level early exit is disabled in the traced functions: the skip
     primitive is a while_loop (_tile_cond), which reverse-mode AD cannot
-    cross — the backward re-trace pays the full unrolled program. The values
-    are identical either way (skipped work is fully masked)."""
+    cross. The pruning equivalent (``cfg.pallas_bwd_prune``) happens one
+    level up instead: a cheap forward probe (:func:`_probe_case`) classifies
+    the tile, and one of three *pre-differentiated* program variants runs —
+    the while skip then wraps already-differentiated code, which reverse-mode
+    AD never sees. The variants' outputs are exactly equal on the tiles they
+    are dispatched to (the pruned work is fully masked in the full program),
+    so this is a pure scheduling optimization."""
     cfg = cfg.with_(pallas_early_exit=False)
+    # (probe case -> program): 0 = one bounce, no refraction; 1 = full
+    # reflections, no refraction; 2 = full program.
+    if cfg.pallas_bwd_prune and cfg.max_reflections > 1:
+        variants = [
+            cfg.with_(max_reflections=1, refraction_unroll=0),
+            cfg.with_(refraction_unroll=0),
+            cfg,
+        ]
+    else:
+        variants = None
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
-               out_ref):
+               out_ref, pr_ref, pg_ref, pb_ref):
         irows = tuple(
             tuple(i32_ref[i, c] for c in range(_I32_COLS))
             for i in range(n_objects)
@@ -587,22 +759,50 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
         )
         camrow = tuple(cam_ref[0, k] for k in range(7))
         lightrow = tuple(light_ref[0, k] for k in range(3))
+        row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
 
-        def tile_fn(frows, camrow, lightrow):
-            ks = _KernelScene(_Rows(frows), _Rows(irows),
-                              _Rows((lightrow,)), n_objects)
-            vi, eye = _tile_rays(_Rows((camrow,)), cfg, tile_rows, tile_cols,
-                                 col_grid=col_grid)
-            ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
-            flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
-            out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
-            return out.r, out.g, out.b
+        def make_tile_fn(c: RenderConfig):
+            def tile_fn(frows, camrow, lightrow):
+                ks = _KernelScene(_Rows(frows), _Rows(irows),
+                                  _Rows((lightrow,)), n_objects, unroll=True)
+                vi, eye = _tile_rays(_Rows((camrow,)), c, tile_rows,
+                                     tile_cols, row0, col0)
+                ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
+                flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
+                out = _raytrace(ks, c, vi, eye, 0, ig, flags)
+                return out.r, out.g, out.b
 
-        _, vjp = jax.vjp(tile_fn, frows, camrow, lightrow)
-        gf, gc, gl = vjp((gr_ref[...], gg_ref[...], gb_ref[...]))
+            return tile_fn
 
-        flat = [x for row in gf for x in row] + list(gc) + list(gl)
-        assert len(flat) == n_out
+        g = (gr_ref[...], gg_ref[...], gb_ref[...])
+
+        def grads_for(c: RenderConfig):
+            primal, vjp = jax.vjp(make_tile_fn(c), frows, camrow, lightrow)
+            gf, gc, gl = vjp(g)
+            flat = tuple([x for row in gf for x in row] + list(gc) + list(gl))
+            assert len(flat) == n_out
+            # The re-traced primal rides along: the gradients are exact
+            # derivatives of THIS forward (compiled as its own while body, its
+            # rounding can flip knife-edge decisions vs the forward kernel);
+            # exposing it lets callers/tests mask cotangents to pixels where
+            # it agrees with their forward of record.
+            return flat + tuple(primal)
+
+        if variants is None:
+            state = grads_for(cfg)
+        else:
+            ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
+            case = _probe_case(ks, cfg, cam_ref, tile_rows, tile_cols,
+                               row0, col0)
+            ztile = jnp.zeros((tile_rows, tile_cols), jnp.float32)
+            state = tuple(jnp.float32(0.0) for _ in range(n_out)) + (ztile,) * 3
+            for case_id, vcfg in enumerate(variants):
+                state = _tile_cond(case == jnp.int32(case_id),
+                                   lambda _s, c=vcfg: grads_for(c), state)
+
+        flat, primal = state[:n_out], state[n_out:]
+        pr_ref[:], pg_ref[:], pb_ref[:] = primal
+
         # The TPU grid runs sequentially on one core, so the per-tile
         # cotangents accumulate in place into the single (1, n_out) SMEM
         # output block (whole-array block: Mosaic's block-shape alignment
@@ -618,10 +818,20 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 
 
 def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
-                              interpret: bool | None = None):
+                              interpret: bool | None = None,
+                              return_primal: bool = False):
     """Scene cotangent for the Pallas trace forward, computed by the fused
     backward kernel: per-tile partials summed over the grid, then pulled back
-    through the (differentiable) scene pack."""
+    through the (differentiable) scene pack.
+
+    ``return_primal=True`` additionally returns the backward's own re-traced
+    image (the forward whose exact derivative the cotangent is — see
+    :func:`_make_bwd_kernel`)."""
+    if scene.objects.count > _KERNEL_UNROLL_MAX:
+        raise ValueError(
+            f"fused backward kernel supports <= {_KERNEL_UNROLL_MAX} objects "
+            "(per-object scalar cotangents are unrolled); use the jnp VJP"
+        )
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -668,12 +878,14 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
 
     kernel = _make_bwd_kernel(cfg, n, tile_rows, tile_cols, n_out, col_grid)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
-    partials = pl.pallas_call(
+    img_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    partials, pr, pg, pb = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem()] + [img_spec] * 3,
-        out_specs=out_spec,
-        out_shape=jax.ShapeDtypeStruct((1, n_out), jnp.float32),
+        out_specs=(out_spec,) + (img_spec,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((1, n_out), jnp.float32),) +
+                  (img_shape,) * 3,
         # The reverse sweep's live set slightly exceeds Mosaic's default 16MB
         # scoped-vmem budget at 8x512 tiles; the chip has 128MB — let the
         # kernel use it rather than shrinking tiles (smaller tiles waste
@@ -697,6 +909,10 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
 
     _, pvjp = jax.vjp(pack_f32, scene)
     (scene_ct,) = pvjp((g_f32t, g_cam, g_light))
+    if return_primal:
+        if h_pad != h or w_pad != w:
+            pr, pg, pb = pr[:h, :w], pg[:h, :w], pb[:h, :w]
+        return scene_ct, Color(pr, pg, pb)
     return scene_ct
 
 
@@ -720,7 +936,10 @@ def _fast_fn(cfg: RenderConfig):
         return render_color_pallas(scene, cfg), scene
 
     def bwd(scene, g):
-        if cfg.pallas_bwd:
+        # The fused backward differentiates w.r.t. per-object scalar tuples
+        # (unrolled-only); big scenes take the jnp VJP behind the Pallas
+        # forward instead.
+        if cfg.pallas_bwd and scene.objects.count <= _KERNEL_UNROLL_MAX:
             return (render_color_pallas_grads(scene, cfg, g),)
         _, vjp = jax.vjp(jnp_forward, scene)
         return vjp(g)

@@ -28,7 +28,15 @@ from ..models.scene import Scene
 from ..models.vec import Color
 from ..renderer import render_color, to_u8
 
-__all__ = ["make_mesh", "render_sharded", "render_tiled_u8"]
+try:  # jax >= 0.5 exposes shard_map at top level
+    from jax import shard_map
+except ImportError:  # pragma: no cover
+    from jax.experimental.shard_map import shard_map
+
+from jax.sharding import PartitionSpec
+
+__all__ = ["make_mesh", "render_sharded", "render_sharded_pallas",
+           "render_tiled_u8"]
 
 
 def make_mesh(devices=None, dp: Optional[int] = None, sp: int = 1) -> Mesh:
@@ -60,13 +68,65 @@ def _render_sharded_jit(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> Color:
 def render_sharded(scene: Scene, cfg: RenderConfig, mesh: Mesh) -> Color:
     """Forward render with the pixel grid sharded over the mesh. The scene is
     replicated (objects/materials are tiny); every per-pixel op partitions
-    trivially, so no communication is inserted for the forward pass."""
+    trivially, so no communication is inserted for the forward pass.
+
+    With ``cfg.use_pallas`` (and a kernel-supported scene/config) each device
+    runs the fused Pallas kernel on its own shard — the hot path and the
+    parallel layer are one thing, like the reference's threaded scanline
+    renderer (src/render.rs:836-898)."""
     if cfg.yres % mesh.shape["dp"] or cfg.xres % mesh.shape["sp"]:
         raise ValueError(
             f"image {cfg.yres}x{cfg.xres} not divisible by mesh "
             f"{mesh.shape['dp']}x{mesh.shape['sp']}"
         )
+    if cfg.pallas_enabled():
+        from ..ops.pallas_trace import pallas_supported
+        from ..ops.pallas_march import pallas_march_supported
+
+        if pallas_supported(scene, cfg) or pallas_march_supported(scene, cfg):
+            return render_sharded_pallas(scene, cfg, mesh)
     return _render_sharded_jit(scene, cfg, mesh)
+
+
+def render_sharded_pallas(scene: Scene, cfg: RenderConfig, mesh: Mesh,
+                          interpret: bool | None = None) -> Color:
+    """Fused-kernel render sharded over the ``(dp, sp)`` mesh via shard_map:
+    each device launches the kernel for its own pixel rectangle, passing its
+    global origin (the kernel's ray formulas use absolute pixel coordinates).
+    Rays never communicate, so there are no collectives — device placement
+    replaces the reference's atomic row counter (src/render.rs:844)."""
+    from jax import lax
+
+    from ..ops.pallas_march import pallas_march_supported
+    from ..ops.pallas_trace import render_color_pallas
+
+    dp, sp = mesh.shape["dp"], mesh.shape["sp"]
+    h_loc, w_loc = cfg.yres // dp, cfg.xres // sp
+    march = pallas_march_supported(scene, cfg)
+
+    def device_fn(s: Scene):
+        i = lax.axis_index("dp")
+        j = lax.axis_index("sp")
+        origin = (i * h_loc, j * w_loc)
+        if march:
+            from ..ops.pallas_march import render_color_pallas_march
+
+            return render_color_pallas_march(s, cfg, interpret,
+                                             origin=origin,
+                                             shape=(h_loc, w_loc))
+        return render_color_pallas(s, cfg, interpret, origin=origin,
+                                   shape=(h_loc, w_loc))
+
+    fn = shard_map(
+        device_fn,
+        mesh=mesh,
+        in_specs=(PartitionSpec(),),
+        out_specs=Color(*(PartitionSpec("dp", "sp"),) * 3),
+        # pallas_call out_shapes carry no varying-mesh-axes annotation;
+        # the outputs are trivially per-device (device-varying) here.
+        check_vma=False,
+    )
+    return fn(scene)
 
 
 def render_tiled_u8(

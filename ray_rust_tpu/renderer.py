@@ -32,7 +32,7 @@ def render_color(scene: Scene, cfg: RenderConfig) -> Color:
     forward runs through the fused Pallas kernel (ops/pallas_trace.py) when
     supported, with gradients routed through the jnp path.
     """
-    if cfg.use_pallas:
+    if cfg.pallas_enabled():
         from .ops.pallas_trace import render_color_fast
 
         return render_color_fast(scene, cfg)

@@ -85,6 +85,37 @@ def test_pallas_patterns_checkerboard():
     _compare(ref, got, frac_budget=0.08, mean_tol=0.04)
 
 
+def test_pallas_big_scene_fori_path():
+    """Above _KERNEL_UNROLL_MAX objects the kernel's raycast/gather/SDF
+    switch to fori_loops over the SMEM table — same image as the jnp scan
+    path (BASELINE config 4's shape: many spheres + floor)."""
+    rng = np.random.default_rng(3)
+    mats = [rt.MaterialSpec(name="floor", diffuse=(1.0, 1.0, 0.0))] + [
+        rt.MaterialSpec(name=f"m{i}", diffuse=tuple(rng.uniform(0.2, 1.0, 3)),
+                        specular=(0.3, 0.3, 0.3), pn=8)
+        for i in range(4)
+    ]
+    objs = [rt.FloorSpec("floor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0))] + [
+        rt.SphereSpec(
+            f"m{int(rng.integers(4))}", float(rng.uniform(20, 60)),
+            tuple(rng.uniform(-800, 800, 3) * np.array([1, 0.3, 1])
+                  + np.array([0, -150, 400])),
+        )
+        for _ in range(70)
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -150.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    assert scene.objects.count == 71
+    cfg = rt.RenderConfig(xres=48, yres=24, max_reflections=2,
+                          refraction_unroll=1)
+    assert pallas_supported(scene, cfg)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    _compare(ref, got, frac_budget=0.08, mean_tol=0.03)
+
+
 def test_pallas_march_matches_jnp():
     """Fused march kernel (ops/pallas_march.py) vs the jnp march path,
     including glow. Knife-edge budget is wider: sphere tracing accumulates
@@ -152,6 +183,110 @@ def test_fast_path_gradients_route_through_jnp():
     assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
 
 
+def _probe_cases_for(scene, cfg, n_row_tiles):
+    """Run the backward kernel's tile-classification probe standalone."""
+    import functools
+
+    import jax
+    import jax.numpy as jnp
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    import ray_rust_tpu.ops.pallas_trace as P
+
+    cfgx = cfg.with_(pallas_early_exit=False)
+    tile_rows, tile_cols = cfg.pallas_rows, cfg.xres
+    n = scene.objects.count
+    f32t, i32t, cam, light = P._pack_scene(scene)
+
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, out_ref):
+        ks = P._KernelScene(f32_ref, i32_ref, light_ref, n)
+        row0, col0 = P._tile_origin(tile_rows, tile_cols, False)
+        out_ref[0, 0] = P._probe_case(ks, cfgx, cam_ref, tile_rows,
+                                      tile_cols, row0, col0)
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    out = pl.pallas_call(
+        kernel, grid=(n_row_tiles,),
+        in_specs=[smem()] * 4,
+        out_specs=pl.BlockSpec((1, 1), lambda i: (i, 0),
+                               memory_space=pltpu.SMEM),
+        out_shape=jax.ShapeDtypeStruct((n_row_tiles, 1), jnp.int32),
+        interpret=True,
+    )(f32t, i32t, cam, light)
+    return np.asarray(out).ravel()
+
+
+def test_pallas_bwd_probe_classification():
+    """The pruning probe's tile classes: the default scene (glass sphere in
+    frame) needs the full program; a diffuse-only scene (no specular, no
+    transparency — every lane terminates at bounce 1) is all-terminal."""
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=32, yres=16, max_reflections=2,
+                          refraction_unroll=1)
+    cases = _probe_cases_for(scene, cfg, 2)
+    assert (cases == 2).any(), cases
+
+    mats = [rt.MaterialSpec(name="d", diffuse=(0.5, 0.5, 0.5))]
+    objs = [
+        rt.FloorSpec("d", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0)),
+        rt.SphereSpec("d", 80.0, (0.0, -30.0, 172.0)),
+    ]
+    diffuse_scene, _ = rt.build_scene(
+        mats, objs, (0.0, -150.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cases = _probe_cases_for(diffuse_scene, cfg, 2)
+    assert (cases == 0).all(), cases
+
+
+def test_pallas_bwd_pruned_terminal_tiles():
+    """Pruned backward on an all-terminal (case 0) scene vs the jnp VJP,
+    masked by the backward's own re-traced primal."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.models.vec import Color
+    from ray_rust_tpu.ops.pallas_trace import render_color_pallas_grads
+    from ray_rust_tpu.ops.rays import camera_rays
+    from ray_rust_tpu.ops.trace import trace_image
+
+    mats = [rt.MaterialSpec(name="d", diffuse=(0.5, 0.6, 0.7))]
+    objs = [
+        rt.FloorSpec("d", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0)),
+        rt.SphereSpec("d", 80.0, (0.0, -30.0, 172.0)),
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -150.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cfg = rt.RenderConfig(xres=32, yres=16, max_reflections=2,
+                          refraction_unroll=1)
+
+    def jnp_fwd(s):
+        vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)
+        return trace_image(s, cfg, vi, eye)
+
+    ones = Color(*(jnp.ones((16, 32), jnp.float32) for _ in range(3)))
+    _, primal = render_color_pallas_grads(scene, cfg, ones, interpret=True,
+                                          return_primal=True)
+    agree = (np.abs(_img_np(primal) - _img_np(jnp_fwd(scene))).max(-1) < 1e-4)
+    assert agree.mean() > 0.9
+
+    rng = np.random.default_rng(1)
+    gm = rng.standard_normal((16, 32)).astype(np.float32) * agree
+    g = Color(*(jnp.asarray(gm) for _ in range(3)))
+    ct = render_color_pallas_grads(scene, cfg, g, interpret=True)
+    _, vjp = jax.vjp(jnp_fwd, scene)
+    (ct_ref,) = vjp(g)
+    a = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(ct)
+                        if str(getattr(x, "dtype", "")) == "float32"])
+    b = np.concatenate([np.ravel(x) for x in jax.tree_util.tree_leaves(ct_ref)
+                        if str(getattr(x, "dtype", "")) == "float32"])
+    rel = np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-3)
+    assert rel < 0.01, rel
+
+
 def test_pallas_bwd_kernel_matches_jnp_vjp():
     """Fused Pallas backward kernel (render_color_pallas_grads, interpret
     mode) vs the jnp path's VJP.
@@ -160,7 +295,10 @@ def test_pallas_bwd_kernel_matches_jnp_vjp():
     different* forwards (kernel vs jnp op fusion/rounding), so the cotangent
     is masked to pixels where the two forwards agree — on those pixels every
     discrete decision (hit object, shadow, pattern cell) matched, and the
-    local derivatives must too. ``pattern_scale`` is exempt: its per-pixel
+    local derivatives must too. The backward kernel exposes its own re-traced
+    primal for exactly this masking (its tile-pruned while bodies compile as
+    separate XLA computations whose rounding flips knife-edge pixels relative
+    to the forward kernel). ``pattern_scale`` is exempt: its per-pixel
     gradient scales like u/scale with u ~ 1e4/scale at horizon-grazing floor
     hits, so it is edge-dominated noise in BOTH paths (checked finite only).
     """
@@ -168,10 +306,7 @@ def test_pallas_bwd_kernel_matches_jnp_vjp():
     import jax.numpy as jnp
 
     from ray_rust_tpu.models.vec import Color
-    from ray_rust_tpu.ops.pallas_trace import (
-        render_color_pallas,
-        render_color_pallas_grads,
-    )
+    from ray_rust_tpu.ops.pallas_trace import render_color_pallas_grads
     from ray_rust_tpu.ops.rays import camera_rays
     from ray_rust_tpu.ops.trace import trace_image
 
@@ -183,9 +318,11 @@ def test_pallas_bwd_kernel_matches_jnp_vjp():
         vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)
         return trace_image(s, cfg, vi, eye)
 
-    imgp = _img_np(render_color_pallas(scene, cfg, interpret=True))
     imgj = _img_np(jnp_fwd(scene))
-    agree = (np.abs(imgp - imgj).max(-1) < 1e-4)
+    ones = Color(*(jnp.ones((16, 32), jnp.float32) for _ in range(3)))
+    _, primal = render_color_pallas_grads(scene, cfg, ones, interpret=True,
+                                          return_primal=True)
+    agree = (np.abs(_img_np(primal) - imgj).max(-1) < 1e-4)
     assert agree.mean() > 0.85, f"forwards agree on only {agree.mean():.0%}"
 
     rng = np.random.default_rng(0)

@@ -51,6 +51,43 @@ def test_tiled_matches_monolithic(scene):
     np.testing.assert_array_equal(got, ref)
 
 
+def test_pallas_under_mesh_matches_monolithic(scene):
+    """The fused trace kernel composed with the device mesh via shard_map:
+    every device launches the kernel on its own pixel rectangle with its
+    global origin. Values match the monolithic kernel up to knife-edge flips
+    (per-shard compilation rounds independently)."""
+    from ray_rust_tpu.ops.pallas_trace import render_color_pallas
+    from ray_rust_tpu.parallel.shard import render_sharded_pallas
+
+    cfg = rt.RenderConfig(xres=64, yres=32, max_reflections=2,
+                          refraction_unroll=1)
+    mesh = make_mesh(jax.devices(), dp=4, sp=2)
+    ref = _np_img(render_color_pallas(scene, cfg, interpret=True))
+    with mesh:
+        out = render_sharded_pallas(scene, cfg, mesh, interpret=True)
+    shard_shapes = {s.data.shape for s in out.r.addressable_shards}
+    assert shard_shapes == {(8, 32)}, shard_shapes
+    diff = np.abs(_np_img(out) - ref)
+    assert (diff.max(-1) > 1e-3).mean() <= 0.06
+    assert diff.mean() < 0.02
+
+
+def test_pallas_march_under_mesh(scene):
+    """March kernel under the mesh (forward)."""
+    from ray_rust_tpu.parallel.shard import render_sharded
+
+    cfg = rt.RenderConfig(xres=32, yres=16, use_raymarching=True,
+                          glow_effect=1.0, max_refractions=1,
+                          march_max_iter=1000, use_pallas=True)
+    mesh = make_mesh(jax.devices(), dp=2, sp=4)
+    ref = _np_img(render_color(scene, cfg.with_(use_pallas=False)))
+    with mesh:
+        got = _np_img(render_sharded(scene, cfg, mesh))
+    diff = np.abs(got - ref)
+    assert (diff.max(-1) > 1e-3).mean() <= 0.08
+    assert diff.mean() < 0.03
+
+
 def test_indivisible_mesh_raises(scene):
     cfg = rt.RenderConfig(xres=30, yres=30)
     mesh = make_mesh(jax.devices(), dp=4, sp=2)
