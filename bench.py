@@ -157,6 +157,31 @@ def main():
     fb_mrays = rays / fb_t / 1e6
     log(f"fwd+bwd 1080p: {fb_t*1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s primary")
 
+    # ---- supplementary: march fwd+bwd (implicit-VJP gradients) ----
+    march_fb_ms = None
+    if time.perf_counter() - t_start < 420:
+        try:
+            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
+                                   glow_effect=1.0, use_pallas=True)
+            img_m = jax.jit(lambda s: render_color(s, mcfg))(scene)
+            tgt_m = jnp.stack([img_m.r, img_m.g, img_m.b], -1) + 0.05
+
+            def fb_march(s):
+                loss, grads = jax.value_and_grad(
+                    lambda q: render_loss(q, mcfg, tgt_m), allow_int=True)(s)
+                acc = loss
+                for leaf in jax.tree_util.tree_leaves(grads):
+                    if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                        acc = acc + jnp.sum(leaf)
+                return acc
+
+            m_t = timed(jax.jit(fb_march), scene, iters=2, what="march fwd+bwd")
+            march_fb_ms = m_t * 1e3
+            log(f"march fwd+bwd 720p: {march_fb_ms:.1f} ms -> "
+                f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"march fwd+bwd bench failed: {e}")
+
     # ---- supplementary: 100-sphere deserialized stress scene (config 4) ----
     stress_ms = None
     if time.perf_counter() - t_start < 420:
@@ -200,7 +225,9 @@ def main():
             # "deserialized custom scene") so the stress path includes the
             # serializer.
             big_scene, _, _ = deserialize_scene(serialize_scene(big_scene, big_meta))
-            scfg = rt.RenderConfig(xres=640, yres=480)
+            # use_pallas: the fused kernel's fori_loop object path covers
+            # >64-object scenes (ops/pallas_trace.py:_KernelScene)
+            scfg = rt.RenderConfig(xres=640, yres=480, use_pallas=True)
             stress = jax.jit(lambda s: scalar(render_color(s, scfg)))
             s_t = timed(stress, big_scene, iters=3, what="stress-101obj")
             stress_ms = s_t * 1e3
@@ -208,6 +235,105 @@ def main():
                 f"{640*480/s_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"stress bench failed: {e}")
+
+    # ---- supplementary: textured default scene (reference's bar.png path) --
+    tex_ms = None
+    if time.perf_counter() - t_start < 480:
+        try:
+            import numpy as np
+
+            from ray_rust_tpu.models.scene import default_scene as build_default
+
+            # The reference's default floor is textured whenever bar.png
+            # exists next to the binary (src/main.rs:169). None ships with the
+            # repo, so synthesize an equivalent 256x256 RGB texture.
+            import os
+            import tempfile
+
+            from PIL import Image
+
+            rng2 = np.random.default_rng(11)
+            tex = (rng2.uniform(0, 255, (256, 256, 3))).astype(np.uint8)
+            with tempfile.TemporaryDirectory() as td:
+                Image.fromarray(tex, "RGB").save(os.path.join(td, "bar.png"))
+                tex_scene, _ = build_default(texture_dir=td)
+            tcfg = rt.RenderConfig(xres=W, yres=H, use_pallas=True)
+            texf = jax.jit(lambda s: scalar(render_color(s, tcfg)))
+            t_t = timed(texf, tex_scene, iters=3, what="textured")
+            tex_ms = t_t * 1e3
+            log(f"textured 1080p fwd: {tex_ms:.1f} ms -> "
+                f"{rays/t_t/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"textured bench failed: {e}")
+
+    # ---- supplementary: 4K tiled forward (config "long context") ----
+    k4_ms = None
+    if time.perf_counter() - t_start < 540:
+        try:
+            from jax.sharding import Mesh
+
+            from ray_rust_tpu.parallel.shard import render_tiled_u8
+
+            import numpy as np
+
+            mesh1 = Mesh(np.asarray(jax.devices()[:1]).reshape(1, 1),
+                         ("dp", "sp"))
+            k4cfg = rt.RenderConfig(xres=3840, yres=2160, use_pallas=True)
+            t0 = time.perf_counter()
+            render_tiled_u8(scene, k4cfg, mesh1, rows_per_tile=432)
+            log(f"4K tiled compile+first: {time.perf_counter() - t0:.1f}s")
+            t0 = time.perf_counter()
+            render_tiled_u8(scene, k4cfg, mesh1, rows_per_tile=432)
+            k4_ms = (time.perf_counter() - t0) * 1e3
+            log(f"4K tiled fwd (to host u8): {k4_ms:.1f} ms -> "
+                f"{3840*2160/(k4_ms/1e3)/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"4K bench failed: {e}")
+
+    # ---- supplementary: inverse-rendering step rate (config 5 analogue) ----
+    inv_steps_s = None
+    if time.perf_counter() - t_start < 560:
+        try:
+            from ray_rust_tpu.parallel.train import sgd_train_step
+
+            icfg = rt.RenderConfig(xres=320, yres=240, use_pallas=True,
+                                   pallas_bwd=True)
+            img_i = jax.jit(lambda s: render_color(s, icfg))(scene)
+            tgt_i = jnp.stack([img_i.r, img_i.g, img_i.b], -1) + 0.05
+            s0, _ = sgd_train_step(scene, icfg, tgt_i, lr=1e-4)
+            jax.block_until_ready(jax.tree_util.tree_leaves(s0)[0])
+            t0 = time.perf_counter()
+            s_cur = scene
+            for _ in range(10):
+                s_cur, loss = sgd_train_step(s_cur, icfg, tgt_i, lr=1e-4)
+            jax.block_until_ready(loss)
+            inv_steps_s = 10 / (time.perf_counter() - t0)
+            log(f"inverse rendering 320x240: {inv_steps_s:.1f} steps/s")
+        except Exception as e:  # supplementary only
+            log(f"inverse bench failed: {e}")
+
+    # ---- supplementary: full-depth sharded fwd+bwd smoke (1-chip mesh) ----
+    sharded_ok = None
+    if time.perf_counter() - t_start < 580:
+        try:
+            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+            from ray_rust_tpu.parallel.shard import make_mesh
+            from ray_rust_tpu.parallel.train import sgd_train_step
+
+            import numpy as np
+
+            mesh1 = make_mesh(jax.devices()[:1], dp=1, sp=1)
+            ccfg = rt.RenderConfig(xres=640, yres=360)
+            with mesh1:
+                tgt = jax.device_put(
+                    jnp.zeros((360, 640, 3), jnp.float32),
+                    NamedSharding(mesh1, P("dp", "sp", None)))
+                _, loss = sgd_train_step(scene, ccfg, tgt, lr=1e-4)
+                sharded_ok = bool(jnp.isfinite(loss))
+            log(f"sharded full-depth fwd+bwd smoke (Mesh(1,1)): ok={sharded_ok}")
+        except Exception as e:  # supplementary only
+            log(f"sharded smoke failed: {e}")
 
     # ---- supplementary: raymarch + glow 1280x720 (config 3) ----
     march_ms = None
@@ -235,8 +361,18 @@ def main():
         extra["fwd_pallas_mrays"] = round(pallas_mrays, 2)
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
+    if march_fb_ms is not None:
+        extra["raymarch_fwd_bwd_720p_ms"] = round(march_fb_ms, 1)
     if stress_ms is not None:
         extra["stress_101obj_640x480_ms"] = round(stress_ms, 1)
+    if tex_ms is not None:
+        extra["textured_1080p_ms"] = round(tex_ms, 1)
+    if k4_ms is not None:
+        extra["tiled_4k_fwd_ms"] = round(k4_ms, 1)
+    if inv_steps_s is not None:
+        extra["inverse_320x240_steps_per_s"] = round(inv_steps_s, 2)
+    if sharded_ok is not None:
+        extra["sharded_full_depth_smoke_ok"] = sharded_ok
     print(
         json.dumps(
             {

@@ -82,9 +82,31 @@ def main(argv=None) -> int:
 
     scene0 = perturbed(target_scene)
 
-    # Adam on the continuous leaves; gradients are heavy-tailed at silhouettes,
-    # so clip by global norm first.
-    opt = optax.chain(optax.clip_by_global_norm(1.0), optax.adam(args.lr))
+    # Adam on the optimized parameter groups — object geometry and diffuse
+    # color, the quantities the perturbation touched. Masking matters because
+    # Adam's scale-free updates would otherwise walk EVERY leaf (camera pose,
+    # light, Phong exponents) by ~lr per step, destroying image alignment
+    # long before the sphere recovers. Gradients are heavy-tailed at
+    # silhouettes, so clip by global norm first.
+    def param_labels(s: rt.Scene):
+        lab = jax.tree_util.tree_map(lambda _: "frozen", s)
+        return lab._replace(
+            objects=lab.objects._replace(
+                org=type(s.objects.org)("opt", "opt", "opt"),
+                radius="opt",
+            ),
+            materials=lab.materials._replace(
+                diffuse=type(s.materials.diffuse)("opt", "opt", "opt"),
+            ),
+        )
+
+    opt = optax.chain(
+        optax.clip_by_global_norm(1.0),
+        optax.multi_transform(
+            {"opt": optax.adam(args.lr), "frozen": optax.set_to_zero()},
+            param_labels(scene0),
+        ),
+    )
     step_fn = make_train_step(cfg, opt)
 
     state = TrainState(scene0, opt.init(scene0))

@@ -517,10 +517,12 @@ def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
     vz = rx * (-qy) - ry * (-qx) + rz * qw + rw * (-qz)
     eye = Vec3(vx, vy, vz).normalized()
 
+    # broadcast_to (not jnp.full): the backward kernel passes camera entries
+    # pre-broadcast to tile shape as vjp arguments
     vi = Vec3(
-        jnp.full((tile_rows, width), cam_ref[0, 0]),
-        jnp.full((tile_rows, width), cam_ref[0, 1]),
-        jnp.full((tile_rows, width), cam_ref[0, 2]),
+        jnp.broadcast_to(cam_ref[0, 0], (tile_rows, width)),
+        jnp.broadcast_to(cam_ref[0, 1], (tile_rows, width)),
+        jnp.broadcast_to(cam_ref[0, 2], (tile_rows, width)),
     )
     return vi, eye
 
@@ -749,26 +751,37 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
                out_ref, pr_ref, pg_ref, pb_ref):
+        shape_t = (tile_rows, tile_cols)
         irows = tuple(
             tuple(i32_ref[i, c] for c in range(_I32_COLS))
             for i in range(n_objects)
         )
-        frows = tuple(
-            tuple(f32_ref[i, c] for c in range(_F32_COLS))
+        # Every differentiable scene scalar enters the vjp PRE-BROADCAST to
+        # tile shape. This keeps the whole reverse sweep elementwise: the
+        # transpose of a use is an elementwise add into the arg's tile-shaped
+        # cotangent, never a cross-lane reduction. (With rank-0 args, every
+        # one of the ~n_out uses transposes into its own tile->scalar
+        # reduction — measured to dominate the whole backward: a one-bounce
+        # backward cost ~32 ms at 1080p, nearly the same as full depth.)
+        fargs = tuple(
+            tuple(jnp.broadcast_to(f32_ref[i, c], shape_t)
+                  for c in range(_F32_COLS))
             for i in range(n_objects)
         )
-        camrow = tuple(cam_ref[0, k] for k in range(7))
-        lightrow = tuple(light_ref[0, k] for k in range(3))
+        camargs = tuple(jnp.broadcast_to(cam_ref[0, k], shape_t)
+                        for k in range(7))
+        lightargs = tuple(jnp.broadcast_to(light_ref[0, k], shape_t)
+                          for k in range(3))
         row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
 
         def make_tile_fn(c: RenderConfig):
-            def tile_fn(frows, camrow, lightrow):
-                ks = _KernelScene(_Rows(frows), _Rows(irows),
-                                  _Rows((lightrow,)), n_objects, unroll=True)
-                vi, eye = _tile_rays(_Rows((camrow,)), c, tile_rows,
+            def tile_fn(fargs, camargs, lightargs):
+                ks = _KernelScene(_Rows(fargs), _Rows(irows),
+                                  _Rows((lightargs,)), n_objects, unroll=True)
+                vi, eye = _tile_rays(_Rows((camargs,)), c, tile_rows,
                                      tile_cols, row0, col0)
-                ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
-                flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
+                ig = jnp.full(shape_t, -1, jnp.int32)
+                flags = jnp.zeros(shape_t, jnp.int32)
                 out = _raytrace(ks, c, vi, eye, 0, ig, flags)
                 return out.r, out.g, out.b
 
@@ -777,16 +790,19 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
         g = (gr_ref[...], gg_ref[...], gb_ref[...])
 
         def grads_for(c: RenderConfig):
-            primal, vjp = jax.vjp(make_tile_fn(c), frows, camrow, lightrow)
+            primal, vjp = jax.vjp(make_tile_fn(c), fargs, camargs, lightargs)
             gf, gc, gl = vjp(g)
-            flat = tuple([x for row in gf for x in row] + list(gc) + list(gl))
-            assert len(flat) == n_out
+            mats = [x for row in gf for x in row] + list(gc) + list(gl)
+            assert len(mats) == n_out
+            # One (n_out*tile_rows, tile_cols) block of per-pixel cotangents;
+            # the scalar reduction happens ONCE, outside the kernel.
+            ct = jnp.concatenate(mats, axis=0)
             # The re-traced primal rides along: the gradients are exact
             # derivatives of THIS forward (compiled as its own while body, its
             # rounding can flip knife-edge decisions vs the forward kernel);
             # exposing it lets callers/tests mask cotangents to pixels where
             # it agrees with their forward of record.
-            return flat + tuple(primal)
+            return (ct,) + tuple(primal)
 
         if variants is None:
             state = grads_for(cfg)
@@ -794,25 +810,27 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
             ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
             case = _probe_case(ks, cfg, cam_ref, tile_rows, tile_cols,
                                row0, col0)
-            ztile = jnp.zeros((tile_rows, tile_cols), jnp.float32)
-            state = tuple(jnp.float32(0.0) for _ in range(n_out)) + (ztile,) * 3
+            state = (
+                jnp.zeros((n_out * tile_rows, tile_cols), jnp.float32),
+                jnp.zeros(shape_t, jnp.float32),
+                jnp.zeros(shape_t, jnp.float32),
+                jnp.zeros(shape_t, jnp.float32),
+            )
             for case_id, vcfg in enumerate(variants):
                 state = _tile_cond(case == jnp.int32(case_id),
                                    lambda _s, c=vcfg: grads_for(c), state)
 
-        flat, primal = state[:n_out], state[n_out:]
+        ct, primal = state[0], state[1:]
         pr_ref[:], pg_ref[:], pb_ref[:] = primal
 
         # The TPU grid runs sequentially on one core, so the per-tile
-        # cotangents accumulate in place into the single (1, n_out) SMEM
-        # output block (whole-array block: Mosaic's block-shape alignment
-        # rule forbids a (1, n_out) slice of a (tiles, n_out) array).
+        # cotangent blocks accumulate in place into the single VMEM output
+        # block (constant index_map -> the accumulator never leaves VMEM
+        # until the grid finishes). One vector add per tile.
         first = pl.program_id(0) == 0
         if col_grid:
             first = first & (pl.program_id(1) == 0)
-        for k, v in enumerate(flat):
-            prev = jnp.where(first, 0.0, out_ref[0, k])
-            out_ref[0, k] = prev + v
+        out_ref[:] = jnp.where(first, 0.0, out_ref[:]) + ct
 
     return kernel
 
@@ -867,14 +885,14 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
         grid = (h_pad // tile_rows, n_col_tiles)
         img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
                                 memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, n_out), lambda i, j: (0, 0),
-                                memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((n_out * tile_rows, tile_cols),
+                                lambda i, j: (0, 0), memory_space=pltpu.VMEM)
     else:
         grid = (h_pad // tile_rows,)
         img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i: (i, 0),
                                 memory_space=pltpu.VMEM)
-        out_spec = pl.BlockSpec((1, n_out), lambda i: (0, 0),
-                                memory_space=pltpu.SMEM)
+        out_spec = pl.BlockSpec((n_out * tile_rows, tile_cols),
+                                lambda i: (0, 0), memory_space=pltpu.VMEM)
 
     kernel = _make_bwd_kernel(cfg, n, tile_rows, tile_cols, n_out, col_grid)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
@@ -884,19 +902,20 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
         grid=grid,
         in_specs=[smem(), smem(), smem(), smem()] + [img_spec] * 3,
         out_specs=(out_spec,) + (img_spec,) * 3,
-        out_shape=(jax.ShapeDtypeStruct((1, n_out), jnp.float32),) +
-                  (img_shape,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((n_out * tile_rows, tile_cols),
+                                        jnp.float32),) + (img_shape,) * 3,
         # The reverse sweep's live set slightly exceeds Mosaic's default 16MB
         # scoped-vmem budget at 8x512 tiles; the chip has 128MB — let the
         # kernel use it rather than shrinking tiles (smaller tiles waste
-        # cycles on per-tile scene-VJP reductions and pipeline bubbles).
+        # cycles on pipeline bubbles).
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=100 * 1024 * 1024
         ) if not interpret else None,
         interpret=interpret,
     )(f32t, i32t, cam, light, gr, gg, gb)
 
-    flat = partials[0]  # (n_out,) — accumulated across the grid in-kernel
+    # Single batched reduction of the accumulated per-pixel cotangent block.
+    flat = partials.reshape(n_out, tile_rows, tile_cols).sum(axis=(1, 2))
     g_f32t = flat[:nf].reshape(n, _F32_COLS)
     g_cam = jnp.concatenate([flat[nf:nf + 7], jnp.zeros(1, jnp.float32)])
     g_cam = g_cam.reshape(1, 8)

@@ -58,6 +58,16 @@ def make_train_step(cfg: RenderConfig, optimizer, mesh: Mesh = None):
             state.scene, cfg, target
         )
         grads = _zero_int_grads(state.scene, grads)
+        # Sanitize before the optimizer: silhouette subgradients and
+        # near-tangent rays are heavy-tailed and can go non-finite once the
+        # optimizer drifts the scene into degenerate configurations (e.g. a
+        # Phong exponent crossing zero); a single NaN would otherwise poison
+        # every leaf through clip_by_global_norm / Adam's second moment.
+        grads = jax.tree_util.tree_map(
+            lambda g2: jnp.nan_to_num(g2, nan=0.0, posinf=0.0, neginf=0.0)
+            if getattr(g2, "dtype", None) == jnp.float32 else g2,
+            grads,
+        )
         updates, opt_state = optimizer.update(grads, state.opt_state, state.scene)
         scene = optax_apply(state.scene, updates)
         return TrainState(scene, opt_state), loss
