@@ -96,6 +96,13 @@ class RenderConfig:
     # converts per-lane divergence into per-tile work skipped. 0 = full
     # image width (single column tile).
     pallas_cols: int = 256
+    # In-kernel image textures for the fused trace kernel: the
+    # neighborhood-packed atlas rides in VMEM as 128-texel chunks and each
+    # shading site fetches texels with a chunk-visitation gather loop
+    # (ops/pallas_trace.py:_KernelScene.fetch_texture) — exact reference
+    # semantics, cost proportional to the chunks a tile actually touches.
+    # False sends textured scenes to the jnp path.
+    pallas_textures: bool = True
     # Tile-level divergence skip inside the fused trace kernel: wrap the
     # refraction sub-trace and bounces >1 in a 0/1-trip while_loop
     # (_tile_cond) so a tile whose lanes are all dead (no transparent hit /

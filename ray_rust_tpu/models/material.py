@@ -102,11 +102,19 @@ def load_texture(path: str) -> Optional[np.ndarray]:
 
 class TextureBank(NamedTuple):
     """Stacked, zero-padded texture atlas: ``data (T, Hmax, Wmax, 3)`` u8 with
-    per-texture true sizes. Lives in HBM; lookups gather per-hit texels."""
+    per-texture true sizes. Lives in HBM; lookups gather per-hit texels.
+
+    ``packed`` additionally stores each texel's 2x2 wrap-around neighborhood
+    (p00, p10, p01, p11 — x-then-y order, 12 u8 channels), so a bilinear
+    sample needs ONE gather of 12 channels instead of four 3-channel gathers.
+    This is what makes the deferred texture pass behind the fused Pallas
+    kernel (ops/pallas_trace.py) cheap: per texture-hit slot, exactly one
+    XLA gather against ``packed``."""
 
     data: jnp.ndarray  # (T, Hmax, Wmax, 3) uint8
     heights: jnp.ndarray  # (T,) int32
     widths: jnp.ndarray  # (T,) int32
+    packed: jnp.ndarray  # (T, Hmax, Wmax, 12) uint8
 
 
 class MaterialTable(NamedTuple):
@@ -151,12 +159,21 @@ def build_material_table(specs: Sequence[MaterialSpec]):
         hmax = max(t.shape[0] for t in textures)
         wmax = max(t.shape[1] for t in textures)
         data = np.zeros((len(textures), hmax, wmax, 3), np.uint8)
+        packed = np.zeros((len(textures), hmax, wmax, 12), np.uint8)
         hs, ws = [], []
         for i, t in enumerate(textures):
-            data[i, : t.shape[0], : t.shape[1]] = t
-            hs.append(t.shape[0])
-            ws.append(t.shape[1])
-        bank = TextureBank(jnp.asarray(data), i32(hs), i32(ws))
+            h, w = t.shape[:2]
+            data[i, :h, :w] = t
+            xp = (np.arange(w) + 1) % w
+            yp = (np.arange(h) + 1) % h
+            packed[i, :h, :w, 0:3] = t
+            packed[i, :h, :w, 3:6] = t[:, xp]  # (x+1 wrap, y)
+            packed[i, :h, :w, 6:9] = t[yp, :]  # (x, y+1 wrap)
+            packed[i, :h, :w, 9:12] = t[yp][:, xp]  # (x+1, y+1)
+            hs.append(h)
+            ws.append(w)
+        bank = TextureBank(jnp.asarray(data), i32(hs), i32(ws),
+                           jnp.asarray(packed))
 
     table = MaterialTable(
         diffuse=Color(*(f32([s.diffuse[c] for s in specs]) for c in range(3))),

@@ -18,12 +18,20 @@ unrolled compare-select over the object axis (N is a static Python int),
 replacing both the reference's pointer chase (render.rs:1021) and the jnp
 path's one-hot MXU contraction (ops/gather.py).
 
-Scope (checked by :func:`pallas_supported`): ray-trace mode without image
-textures. Procedural patterns are fully supported; march mode and texture
-atlas gathers stay on the jnp path (ops/march.py, ops/texture.py), which also
-remains the autodiff path — :func:`render_color_fast` pairs this forward
-kernel with the jnp path's VJP via ``jax.custom_vjp`` (the backward
-re-traces, i.e. whole-program rematerialization: zero forward residuals).
+Scope (checked by :func:`pallas_supported`): ray-trace mode, with or without
+image textures. Procedural patterns are computed in-kernel; image textures
+are fetched in-kernel by a *chunk-visitation gather*
+(:meth:`_KernelScene.fetch_texture`): the neighborhood-packed atlas
+(models/material.py:TextureBank.packed) lives in VMEM as 128-texel chunks,
+and at each shading site a ``while_loop`` visits exactly the chunks the
+tile's lanes need — one ``tpu.dynamic_gather`` (128-lane pick) per chunk per
+channel — exploiting the spatial coherence of texture hits. XLA's own gather
+is scalar-core bound (~30 ms for a 1080p image on v5e, measured); this loop
+is VPU-vectorized and costs microseconds per tile. March mode stays in its
+own kernel (ops/pallas_march.py). The jnp path remains the autodiff path —
+:func:`render_color_fast` pairs this forward kernel with the fused backward
+kernel or the jnp VJP via ``jax.custom_vjp`` (the backward re-traces, i.e.
+whole-program rematerialization: zero forward residuals).
 
 The jnp path (ops/trace.py) is the correctness oracle; tests/test_pallas.py
 compares the two pixel-for-pixel (interpret mode on CPU, compiled on TPU).
@@ -70,17 +78,30 @@ _KERNEL_UNROLL_MAX = 64
 # object ≈ 92 B/object; 512 objects ≈ 47 KB).
 _KERNEL_OBJECT_MAX = 512
 
+# Texture chunking for the in-kernel chunk-visitation gather: 128 texels per
+# chunk (one vreg lane row — tpu.dynamic_gather picks within a single vreg
+# width). The VMEM texture table is (12, chunks, 128) f32 = 6 KB per chunk;
+# cap the atlas at 4096 chunks (24 MB, = 512K texels with the quad packing).
+_TEXTURE_CHUNK = 128
+_TEXTURE_CHUNK_MAX = 4096
+
 
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
-    """The fused kernel covers the ray-trace mode without image textures."""
+    """The fused kernel covers ray-trace mode, textured or not.
+
+    Image textures are fetched in-kernel from a VMEM chunk table
+    (:meth:`_KernelScene.fetch_texture`), so the atlas must fit the chunk
+    cap. Only structural properties are checked — this predicate must hold
+    under ``jit`` tracing (a :class:`TextureBank` exists iff some material
+    has a texture, and its padded extent is static shape information)."""
     if cfg.use_raymarching:
         return False
     if scene.textures is not None:
-        # Texture atlas gathers stay on the jnp path.
-        import numpy as _np
-
-        tex_ids = _np.asarray(scene.textures.widths)
-        if tex_ids.size and _np.asarray(scene.materials.texture_id).max() >= 0:
+        if not cfg.pallas_textures:
+            return False
+        t, hmax, wmax = scene.textures.data.shape[:3]
+        per_tex = -(-(hmax * wmax) // _TEXTURE_CHUNK)
+        if t * per_tex > _TEXTURE_CHUNK_MAX:
             return False
     return scene.objects.count <= _KERNEL_OBJECT_MAX
 
@@ -116,7 +137,7 @@ def _pack_scene(scene: Scene):
             objs.kind,
             jnp.take(mats.pattern, m),
             objs.uvmap,
-            jnp.zeros_like(objs.kind),
+            jnp.take(mats.texture_id, m),
         ],
         axis=1,
     ).astype(jnp.int32)  # (N, 4)
@@ -138,6 +159,61 @@ def _pack_scene(scene: Scene):
     return f32t, i32t, cam, light
 
 
+def _pack_textures(scene: Scene):
+    """Chunk the neighborhood-packed atlas for the in-kernel gather.
+
+    Returns ``(tbl, meta)``: ``tbl (4, C, 128) f32`` — tap-major chunked
+    texels, each tap's RGB packed into one integer-valued f32 word
+    (``r | g<<8 | b<<16`` < 2^24, exactly representable; the hardware gather
+    path is f32-only, so the words ride as floats and the kernel casts back
+    to i32 to unpack) so
+    a trip of the chunk loop needs four gathers, not twelve; each texture
+    occupies a fixed ``ceil(Hmax*Wmax/128)``-chunk region, row-major with
+    stride ``Wmax``. ``meta (T, 4) i32`` rows are
+    ``[width, height, base_texel, filter]``. Wrap indices use each texture's
+    TRUE width/height (render.rs:267-296); only the region layout uses the
+    padded extent (static, so the table shape is known at trace time)."""
+    bank = scene.textures
+    t, hmax, wmax = bank.data.shape[:3]
+    per_tex_texels = hmax * wmax
+    per_tex_chunks = -(-per_tex_texels // _TEXTURE_CHUNK)
+    pad = per_tex_chunks * _TEXTURE_CHUNK - per_tex_texels
+
+    quads = bank.packed.astype(jnp.int32).reshape(t, per_tex_texels, 4, 3)
+    words = (
+        quads[..., 0] | (quads[..., 1] << 8) | (quads[..., 2] << 16)
+    ).astype(jnp.float32)
+    if pad:
+        words = jnp.pad(words, ((0, 0), (0, pad), (0, 0)))
+    # (t, chunks, 128, 4) -> (4, t*chunks, 128)
+    tbl = words.reshape(t, per_tex_chunks, _TEXTURE_CHUNK, 4)
+    tbl = jnp.transpose(tbl, (3, 0, 1, 2)).reshape(
+        4, t * per_tex_chunks, _TEXTURE_CHUNK
+    )
+
+    # texture id -> filter of its owner material (ids are unique per
+    # material; invalid ids contribute 0 to row 0 — harmless).
+    mats = scene.materials
+    tid_m = mats.texture_id
+    filt_by_tid = jnp.zeros((t,), jnp.int32).at[
+        jnp.clip(tid_m, 0, t - 1)
+    ].add(jnp.where(tid_m >= 0, mats.texture_filter, 0))
+
+    base = jnp.arange(t, dtype=jnp.int32) * np.int32(
+        per_tex_chunks * _TEXTURE_CHUNK
+    )
+    meta = jnp.stack(
+        [
+            bank.widths.astype(jnp.int32),
+            bank.heights.astype(jnp.int32),
+            base,
+            filt_by_tid,
+        ],
+        axis=1,
+    )  # (T, 4)
+    return tbl, meta
+
+
 class _KernelScene:
     """Per-object scalars from SMEM + scene-free trace helpers.
 
@@ -152,7 +228,7 @@ class _KernelScene:
     be indexed dynamically)."""
 
     def __init__(self, f32_ref, i32_ref, light_ref, n_objects: int,
-                 unroll: bool | None = None):
+                 unroll: bool | None = None, tex=None):
         self.n = n_objects
         self.f32 = f32_ref
         self.i32 = i32_ref
@@ -163,6 +239,8 @@ class _KernelScene:
             [self._obj_at(i) for i in range(n_objects)] if self.unrolled
             else None
         )
+        # (tbl_ref, meta_ref, n_textures, wmax) from _pack_textures, or None
+        self.tex = tex
 
     def _obj_at(self, i):
         """One object's fields; ``i`` is a static int in the unrolled regime,
@@ -184,6 +262,7 @@ class _KernelScene:
             kind=g[i, 0],
             pattern=g[i, 1],
             uvmap=g[i, 2],
+            tid=g[i, 3],
         )
 
     # -- nearest hit (render.rs:993-1018) ------------------------------------
@@ -243,7 +322,7 @@ class _KernelScene:
             uvmap=out["uvmap"],
             mat_id=zero_i,
             pattern=out["pattern"],
-            texture_id=zero_i - 1,
+            texture_id=out["tid"],
             texture_filter=zero_i,
             org=out["org"],
             normal=out["normal"],
@@ -296,6 +375,108 @@ class _KernelScene:
 
         return lax.fori_loop(0, self.n, body, (closest, idx, glowing))
 
+    # -- in-kernel image texture sample (render.rs:249-316) ------------------
+    def fetch_texture(self, tid, u, v, want) -> Color:
+        """Sample the VMEM chunk table at per-lane (tid, u, v) with the
+        reference's wrap + Nearest/Bilinear semantics — the kernel twin of
+        ops/texture.py:sample_texture_packed.
+
+        A ``while_loop`` visits only the chunks some wanted lane needs:
+        each trip resolves every lane of the tile whose texel lives in the
+        currently-cheapest unresolved chunk, via one 128-lane
+        ``tpu.dynamic_gather`` per packed channel per 128-column block.
+        Texture hits are spatially coherent, so trips-per-tile is small and
+        independent of atlas size; a tile with no wanted lane exits at the
+        first loop condition. Exact: every lane receives precisely the
+        texels and blend the jnp path computes."""
+        from ..utils.modutil import fimod, imod
+
+        tbl_ref, meta_ref, n_tex, wmax = self.tex
+        shape = jnp.shape(u)
+
+        def meta_sel(col):
+            out = jnp.broadcast_to(meta_ref[0, col], shape)
+            for ti in range(1, n_tex):
+                out = jnp.where(tid == ti, meta_ref[ti, col], out)
+            return out
+
+        w = meta_sel(0)
+        h = meta_sel(1)
+        base = meta_sel(2)
+        filt = meta_sel(3)
+        wf = w.astype(jnp.float32)
+        hf = h.astype(jnp.float32)
+
+        # Nearest truncates toward zero (render.rs:253-266); Bilinear floors
+        # (render.rs:267-296). Identical arithmetic to sample_texture_packed.
+        nx = imod(jnp.trunc(u * wf).astype(jnp.int32), w)
+        ny = imod(jnp.trunc(v * hf).astype(jnp.int32), h)
+        fu, iu = fimod(u * wf, wf)
+        fv, iv = fimod(v * hf, hf)
+        bilin = filt == 1  # FILTER_BILINEAR
+        ix = jnp.where(bilin, iu, nx)
+        iy = jnp.where(bilin, iv, ny)
+
+        flat = base + iy * np.int32(wmax) + ix
+        chunk = flat // _TEXTURE_CHUNK
+        pos = flat % _TEXTURE_CHUNK
+
+        rows, cols = shape
+        n_blk = -(-cols // _TEXTURE_CHUNK)
+        pad_cols = n_blk * _TEXTURE_CHUNK - cols
+        pos_p = jnp.pad(pos, ((0, 0), (0, pad_cols))) if pad_cols else pos
+
+        big = jnp.int32(np.int32(2**31 - 1))
+        resolved0 = jnp.where(want, 0, 1).astype(jnp.int32)
+        accs0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
+
+        def cond(state):
+            resolved = state[0]
+            return jnp.min(resolved) == 0
+
+        def body(state):
+            resolved = state[0]
+            accs = state[1:]
+            unres = resolved == 0
+            cur = jnp.min(jnp.where(unres, chunk, big))
+            sel = unres & (chunk == cur)
+            new_accs = []
+            for j in range(4):
+                row = tbl_ref[j, pl.dslice(cur, 1), :]  # (1, 128) u32
+                rowb = jnp.broadcast_to(row, (rows, _TEXTURE_CHUNK))
+                blks = []
+                for b in range(n_blk):
+                    p = pos_p[:, b * _TEXTURE_CHUNK:(b + 1) * _TEXTURE_CHUNK]
+                    blks.append(jnp.take_along_axis(rowb, p, axis=1))
+                vals = blks[0] if n_blk == 1 else jnp.concatenate(blks, axis=1)
+                if pad_cols:
+                    vals = vals[:, :cols]
+                new_accs.append(jnp.where(sel, vals, accs[j]))
+            return (resolved + sel.astype(jnp.int32),) + tuple(new_accs)
+
+        out = lax.while_loop(cond, body, (resolved0,) + accs0)
+
+        def unpack(word_f):
+            # r | g<<8 | b<<16 (see _pack_textures; integer-valued f32 word)
+            word = word_f.astype(jnp.int32)
+            return tuple(
+                ((word >> (8 * c)) & jnp.int32(0xFF)).astype(jnp.float32)
+                for c in range(3)
+            )
+
+        # tap layout from TextureBank.packed: p00, p10(x+1), p01(y+1), p11
+        p00, p10, p01, p11 = (unpack(w) for w in out[1:])
+        ch = []
+        for c in range(3):
+            bi = (
+                (1.0 - fu) * (1.0 - fv) * p00[c]
+                + (1.0 - fu) * fv * p01[c]
+                + fu * (1.0 - fv) * p10[c]
+                + fu * fv * p11[c]
+            )
+            ch.append(jnp.where(bilin, bi, p00[c]) / 256.0)
+        return Color(*ch)
+
 
 def _pattern_diffuse(fields: HitFields, uv) -> Color:
     """Procedural-pattern diffuse (render.rs:301-314) — the texture-free slice
@@ -341,10 +522,13 @@ def _tile_cond(pred, fn, state):
 
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
-             n: Vec3, pt: Vec3, eye: Vec3, nest: int) -> Color:
+             n: Vec3, pt: Vec3, eye: Vec3, nest: int, active=None) -> Color:
     """Kernel-side shading (render.rs:1020-1140): Lambert + Phong + shadow +
-    pattern + pseudo-refraction. Mirrors ops/trace.py:shading minus march mode
-    and image textures."""
+    pattern/texture + pseudo-refraction. Mirrors ops/trace.py:shading; image
+    textures are fetched in-kernel (:meth:`_KernelScene.fetch_texture`).
+    ``active`` (lanes whose face color is actually consumed) only gates the
+    texture fetch — a tile with no live textured lane skips the chunk loop
+    outright."""
     light = ks.light
 
     light_incidence = light.dot(n)
@@ -371,15 +555,24 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
                 fields.pattern_angle_scale)
     kd = _pattern_diffuse(fields, uv)
 
+    if ks.tex is not None:
+        # Image texture replaces the pattern color (render.rs:249-316,
+        # texture.py:lookup_diffuse). Fetch gated to live textured lanes —
+        # the chunk loop costs one condition check when none exist.
+        want = fields.texture_id >= 0
+        if active is not None:
+            want = want & active
+        tex_col = ks.fetch_texture(fields.texture_id, uv[0], uv[1], want)
+        kd = tex_col.where(want, kd)
+
     base = Color(kd.r * k1 + k2, kd.g * k1 + k2, kd.b * k1 + k2)
 
     unroll_cap = cfg.max_refractions
     if cfg.refraction_unroll is not None:
         unroll_cap = min(unroll_cap, cfg.refraction_unroll)
     if nest < unroll_cap:
-        transparency_self = fields.transparency
+        f = fields.transparency
         sp = eye.dot(n)
-        f = transparency_self
         fracn = fields.refraction
         fracn_safe = jnp.where((f > 0.0) & (jnp.abs(fracn) > 1e-6), fracn, 1.0)
         bend = sp * (jnp.where(sp > 0.0, fracn_safe, 1.0 / fracn_safe) - 1.0)
@@ -394,11 +587,13 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
             # result is exact — lanes with f == 0 discard fc2 entirely below.
             fc2 = _tile_cond(
                 jnp.any(f > 0.0),
-                lambda _z: _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags),
+                lambda _z: _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags,
+                                     active=f > 0.0),
                 Color.zero(jnp.shape(f)),
             )
         else:
-            fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags)
+            fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags,
+                            active=f > 0.0)
         blended = Color(
             (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
             (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
@@ -409,14 +604,20 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
 
 
 def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
-              lev: int, ig, flags) -> Color:
+              lev: int, ig, flags, active=None) -> Color:
     """Kernel-side unrolled Whitted loop (render.rs:1142-1224); mirrors
     ops/trace.py:raytrace step-for-step (same terminations, same IGNORE
-    guards, same miss semantics)."""
+    guards, same miss semantics). ``active`` masks lanes whose result is
+    consumed at all (refraction sub-traces pass the transparent-lane mask) —
+    dead lanes' values are discarded by the caller's blend, and the mask
+    tightens the tile-level early exits and texture-fetch gates."""
     shape = jnp.shape(eye.x)
     fcs = Color.full(1.0, 1.0, 1.0, shape)
     ret = Color.zero(shape)
-    active = jnp.ones(shape, bool)
+    if active is None:
+        active = jnp.ones(shape, bool)
+    else:
+        active = jnp.broadcast_to(active, shape)
     bg_fn = get_bg(cfg.bg)
 
     def make_step(lev_i):
@@ -435,7 +636,8 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
                 pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
             fields = ks.gather(idx)
             n = ks.normal_at(fields, pt)
-            face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i)
+            face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i,
+                            active=active & hit)
             ret, fcs = _accumulate(ret, fcs, face, fields.specular,
                                    active & hit, flags)
 
@@ -528,22 +730,31 @@ def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
 
 
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
-                 tile_cols: int, col_grid: bool):
+                 tile_cols: int, col_grid: bool, tex_meta=None):
     """Kernel body: generate this tile's camera rays (render.rs:808-815) and
     trace them to completion without leaving VMEM. ``org_ref`` carries the
     caller's global pixel origin (nonzero when this launch renders one
-    device's shard of a mesh-partitioned image — parallel/shard.py)."""
+    device's shard of a mesh-partitioned image — parallel/shard.py).
+    ``tex_meta = (n_textures, wmax)`` adds the texture chunk-table inputs
+    (see :func:`_pack_textures`) for in-kernel texture fetch."""
 
-    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, r_ref, g_ref,
-               b_ref):
-        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, *rest):
+        shape = (tile_rows, tile_cols)
+        if tex_meta is not None:
+            tbl_ref, meta_ref = rest[0], rest[1]
+            tex = (tbl_ref, meta_ref) + tex_meta
+            r_ref, g_ref, b_ref = rest[2:5]
+        else:
+            tex = None
+            r_ref, g_ref, b_ref = rest[0:3]
+        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects, tex=tex)
         row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
         row0 = row0 + org_ref[0, 0]
         col0 = col0 + org_ref[0, 1]
         vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
 
-        ig = jnp.full((tile_rows, tile_cols), -1, jnp.int32)
-        flags = jnp.zeros((tile_rows, tile_cols), jnp.int32)
+        ig = jnp.full(shape, -1, jnp.int32)
+        flags = jnp.zeros(shape, jnp.int32)
         out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
 
         r_ref[:] = out.r
@@ -591,10 +802,14 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
     ``origin``/``shape`` render a sub-rectangle of the global image — the
     ray formulas keep absolute pixel coordinates, so a device holding one
     shard of a mesh-partitioned image passes its global offset here
-    (parallel/shard.py); origin components may be traced (axis_index)."""
+    (parallel/shard.py); origin components may be traced (axis_index).
+
+    Textured scenes additionally ship the chunked atlas to VMEM and fetch
+    texels in-kernel (:meth:`_KernelScene.fetch_texture`)."""
     if not pallas_supported(scene, cfg):
         raise ValueError("scene/config outside the fused kernel's support "
-                         "(march mode or image textures); use the jnp path")
+                         "(march mode, oversized scene, or atlas beyond the "
+                         "VMEM chunk cap); use the jnp path")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -611,18 +826,28 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
         org = jnp.stack(
             [jnp.asarray(origin[0]), jnp.asarray(origin[1])]
         ).astype(jnp.int32).reshape(1, 2)
-    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
+
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    in_specs = [smem(), smem(), smem(), smem(), smem()]
+    inputs = [f32t, i32t, cam, light, org]
+    tex_meta = None
+    if scene.textures is not None:
+        tbl, meta = _pack_textures(scene)
+        tex_meta = (scene.textures.data.shape[0],
+                    scene.textures.data.shape[2])
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM), smem()]
+        inputs += [tbl, meta]
+    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid, tex_meta)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
-    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem()],
+        in_specs=in_specs,
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
-    )(f32t, i32t, cam, light, org)
+    )(*inputs)
 
     if h_pad != h or w_pad != w:
         r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]
@@ -850,6 +1075,9 @@ def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
             f"fused backward kernel supports <= {_KERNEL_UNROLL_MAX} objects "
             "(per-object scalar cotangents are unrolled); use the jnp VJP"
         )
+    if scene.textures is not None:
+        raise ValueError("fused backward kernel does not cover image "
+                         "textures; use the jnp VJP")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -956,9 +1184,10 @@ def _fast_fn(cfg: RenderConfig):
 
     def bwd(scene, g):
         # The fused backward differentiates w.r.t. per-object scalar tuples
-        # (unrolled-only); big scenes take the jnp VJP behind the Pallas
-        # forward instead.
-        if cfg.pallas_bwd and scene.objects.count <= _KERNEL_UNROLL_MAX:
+        # (unrolled-only, texture-free); other scenes take the jnp VJP behind
+        # the Pallas forward instead.
+        if (cfg.pallas_bwd and scene.objects.count <= _KERNEL_UNROLL_MAX
+                and scene.textures is None):
             return (render_color_pallas_grads(scene, cfg, g),)
         _, vjp = jax.vjp(jnp_forward, scene)
         return vjp(g)
@@ -999,8 +1228,8 @@ def _fast_march_fn(cfg: RenderConfig):
 
 def render_color_fast(scene: Scene, cfg: RenderConfig) -> Color:
     """Differentiable render with the fused Pallas forward kernels (trace or
-    march) and the jnp path's VJP. Falls back to the jnp path when no kernel
-    covers the scene/config (image textures, differentiable march)."""
+    march) and the fused-backward/jnp VJP. Falls back to the jnp path when no
+    kernel covers the scene/config (differentiable march, >512 objects)."""
     if pallas_supported(scene, cfg):
         return _fast_fn(cfg)(scene)
     from .pallas_march import pallas_march_supported

@@ -24,7 +24,7 @@ from ..models.vec import Color, Vec3
 from ..utils.fastmath import atan2
 from ..utils.modutil import fimod, fmod, imod, umod
 
-__all__ = ["get_uv", "lookup_diffuse"]
+__all__ = ["get_uv", "lookup_diffuse", "sample_texture_packed"]
 
 
 def get_uv(rel: Vec3, uvmap, pattern_scale, pattern_angle_scale):
@@ -84,6 +84,46 @@ def _sample_texture(bank, tex_id, filt, u, v) -> Color:
     return Color(p[..., 0], p[..., 1], p[..., 2])
 
 
+def sample_texture_packed(bank, tex_id, filt, u, v) -> Color:
+    """Single-gather texture sample against the neighborhood-packed atlas
+    (``TextureBank.packed``). Numerically identical to
+    :func:`_sample_texture` — same wrap arithmetic (render.rs:253-296), same
+    bilinear term order (pixelutil.rs:4-13) — but both filters are served by
+    ONE gather of 12 u8 channels. This is the deferred texture pass behind
+    the fused Pallas kernel (ops/pallas_trace.py records per-hit uv/weight
+    slots; this function resolves them)."""
+    w = jnp.take(bank.widths, tex_id)
+    h = jnp.take(bank.heights, tex_id)
+    wf = w.astype(jnp.float32)
+    hf = h.astype(jnp.float32)
+
+    # Nearest indices (render.rs:253-266): `(u*w) as i32` truncates to zero.
+    nx = imod(jnp.trunc(u * wf).astype(jnp.int32), w)
+    ny = imod(jnp.trunc(v * hf).astype(jnp.int32), h)
+    # Bilinear base indices (render.rs:267-296).
+    fu, iu = fimod(u * wf, wf)
+    fv, iv = fimod(v * hf, hf)
+
+    bilin = filt == FILTER_BILINEAR
+    ix = jnp.where(bilin, iu, nx)
+    iy = jnp.where(bilin, iv, ny)
+    quad = bank.packed[tex_id, iy, ix].astype(jnp.float32)  # (..., 12)
+    p00 = quad[..., 0:3]
+    p10 = quad[..., 3:6]
+    p01 = quad[..., 6:9]
+    p11 = quad[..., 9:12]
+    fu = fu[..., None]
+    fv = fv[..., None]
+    p_bi = (
+        (1.0 - fu) * (1.0 - fv) * p00
+        + (1.0 - fu) * fv * p01
+        + fu * (1.0 - fv) * p10
+        + fu * fv * p11
+    )
+    p = jnp.where(bilin[..., None], p_bi, p00) / 256.0
+    return Color(p[..., 0], p[..., 1], p[..., 2])
+
+
 def lookup_diffuse(scene: Scene, fields, uv) -> Color:
     """Diffuse color at a hit: image texture if present, else pattern
     (render.rs:249-316). ``fields`` carries the pre-gathered per-hit material
@@ -112,6 +152,8 @@ def lookup_diffuse(scene: Scene, fields, uv) -> Color:
         tex_id = fields.texture_id
         filt = fields.texture_filter
         tid_safe = jnp.maximum(tex_id, 0)
-        tex_col = _sample_texture(scene.textures, tid_safe, filt, u, v)
+        # Packed sampler: numerically identical to _sample_texture but ONE
+        # gather instead of four (XLA gather is scalar-core bound on TPU).
+        tex_col = sample_texture_packed(scene.textures, tid_safe, filt, u, v)
         col = tex_col.where(tex_id >= 0, col)
     return col

@@ -350,3 +350,114 @@ def test_pallas_bwd_kernel_matches_jnp_vjp():
             f"{jax.tree_util.keystr(path)}: relative-L2 grad diff {rel:.4f} "
             f"(leaf norm {denom:.3g})"
         )
+
+
+# ---------------------------------------------------------------------------
+# Image textures through the fused kernel (deferred texture-hit slots):
+# the kernel records (uv, weight, texture id) per textured hit and a
+# single-gather XLA pass resolves them (render.rs:249-316 semantics).
+# ---------------------------------------------------------------------------
+
+
+def _textured_scene(filt, tex=None):
+    rng = np.random.default_rng(5)
+    if tex is None:
+        tex = rng.integers(0, 256, (12, 20, 3)).astype(np.uint8)
+    mats = [
+        rt.MaterialSpec(name="texfloor", diffuse=(1.0, 1.0, 0.0), pattern=2,
+                        pattern_scale=300.0, pattern_angle_scale=0.2,
+                        texture_filter=filt, texture=tex),
+        rt.MaterialSpec(name="mirror", diffuse=(0.0, 0.0, 0.0),
+                        specular=(1.0, 1.0, 1.0), pn=24),
+        rt.MaterialSpec(name="glass", transparency=1.0, refraction=1.5),
+    ]
+    objs = [
+        rt.FloorSpec("texfloor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0), uvmap=2),
+        rt.SphereSpec("mirror", 80.0, (0.0, -30.0, 172.0)),
+        rt.SphereSpec("glass", 100.0, (70.0, -200.0, 150.0)),
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -150.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    return scene
+
+
+@pytest.mark.parametrize("filt", [0, 1], ids=["nearest", "bilinear"])
+def test_pallas_textured_matches_jnp(filt):
+    """Textured floor seen directly, via mirror reflection, and through the
+    glass sphere's refraction sub-trace — all three weight chains."""
+    scene = _textured_scene(filt)
+    cfg = rt.RenderConfig(xres=64, yres=48, max_reflections=2,
+                          refraction_unroll=2)
+    assert pallas_supported(scene, cfg)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    # Nearest-neighbor texel boundaries flip on 1-ulp uv differences between
+    # the two compilation paths, on top of the usual knife-edge pixels.
+    _compare(ref, got, frac_budget=0.08, mean_tol=0.03)
+
+
+def test_pallas_textures_disabled_rejects():
+    scene = _textured_scene(0)
+    cfg = rt.RenderConfig(xres=32, yres=24, pallas_textures=False)
+    assert not pallas_supported(scene, cfg)
+    with pytest.raises(ValueError):
+        render_color_pallas(scene, cfg, interpret=True)
+    # texture-free scenes are unaffected by the flag
+    scene0, _ = rt.default_scene(texture_dir="/nonexistent")
+    assert pallas_supported(scene0, cfg)
+
+
+def test_sample_texture_packed_matches_gather():
+    """The packed single-gather sampler must equal the 4-gather reference
+    sampler exactly (same wrap arithmetic, same blend term order)."""
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.models.material import build_material_table
+    from ray_rust_tpu.ops.texture import _sample_texture, sample_texture_packed
+
+    rng = np.random.default_rng(11)
+    specs = [
+        rt.MaterialSpec(name="a", texture=rng.integers(0, 256, (7, 13, 3)).astype(np.uint8)),
+        rt.MaterialSpec(name="b", texture=rng.integers(0, 256, (16, 8, 3)).astype(np.uint8)),
+    ]
+    _, bank = build_material_table(specs)
+    n = 4096
+    u = jnp.asarray(rng.uniform(-3.0, 3.0, n).astype(np.float32))
+    v = jnp.asarray(rng.uniform(-3.0, 3.0, n).astype(np.float32))
+    tid = jnp.asarray(rng.integers(0, 2, n).astype(np.int32))
+    for filt in (0, 1):
+        f = jnp.full((n,), filt, jnp.int32)
+        ref = _sample_texture(bank, tid, f, u, v)
+        got = sample_texture_packed(bank, tid, f, u, v)
+        for cr, cg in zip(ref, got):
+            np.testing.assert_array_equal(np.asarray(cr), np.asarray(cg))
+
+
+def test_fast_path_textured_gradients_route_through_jnp():
+    """Textured scenes use the Pallas forward + jnp VJP (the fused backward
+    kernel is texture-free); gradients must equal the pure-jnp gradients."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.ops.pallas_trace import render_color_fast
+    from ray_rust_tpu.ops.rays import camera_rays
+    from ray_rust_tpu.ops.trace import trace_image
+
+    scene = _textured_scene(1)
+    cfg = rt.RenderConfig(xres=16, yres=8, max_reflections=1,
+                          refraction_unroll=1, pallas_bwd=True)
+
+    def loss_fast(s):
+        col = render_color_fast(s, cfg)
+        return jnp.sum(col.r) + 2.0 * jnp.sum(col.g) + 3.0 * jnp.sum(col.b)
+
+    def loss_jnp(s):
+        vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)
+        col = trace_image(s, cfg, vi, eye)
+        return jnp.sum(col.r) + 2.0 * jnp.sum(col.g) + 3.0 * jnp.sum(col.b)
+
+    g_fast = jax.grad(loss_fast, allow_int=True)(scene).objects.org.x
+    g_ref = jax.grad(loss_jnp, allow_int=True)(scene).objects.org.x
+    assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
