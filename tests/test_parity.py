@@ -132,3 +132,41 @@ def test_u8_conversion():
     assert out[0, 0, 1] == 0  # negative saturates to 0
     assert out[0, 1, 1] == 254  # 0.999*255=254.745 -> 254
     assert out[0, 3, 1] == 0  # NaN -> 0
+
+
+# ---------------------------------------------------------------------------
+# Checked-in golden fixtures (VERDICT r2 item 8): regressions diff against a
+# fixed artifact rendered once by the oracle at full reference depth, not a
+# re-run. tests/goldens/*.npz hold the exact f32 oracle output (the sibling
+# .png files are for human inspection).
+# ---------------------------------------------------------------------------
+
+
+def _load_golden(name):
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "goldens", f"{name}.npz")
+    return np.load(path)["img"]
+
+
+def test_golden_default_trace_320x240():
+    """BASELINE config-1 fixture: default scene, 320x240, full reference
+    depths (max_reflections 3 / max_refractions 10). Tightened budget: ≤2%
+    outlier pixels (vs the 5% used for the tiny-res fixtures, where the
+    singular horizon row is a larger fraction)."""
+    ref = _load_golden("default_trace_320x240")
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=320, yres=240, refraction_unroll=None)
+    got = _img_np(render_color(scene, cfg))
+    _compare(ref, got, frac_budget=0.02, mean_tol=0.01)
+
+
+def test_golden_default_march_glow_160x120():
+    """BASELINE config-3 fixture: march mode + glow at 160x120, full march
+    budget (the oracle runs the reference's MAX_ITER=10000 loop)."""
+    ref = _load_golden("default_march_glow_160x120")
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=160, yres=120, use_raymarching=True,
+                          glow_effect=1.0, refraction_unroll=None)
+    got = _img_np(render_color(scene, cfg))
+    _compare(ref, got, frac_budget=0.02, mean_tol=0.01)
