@@ -80,10 +80,14 @@ _KERNEL_OBJECT_MAX = 512
 
 # Texture chunking for the in-kernel chunk-visitation gather: 128 texels per
 # chunk (one vreg lane row — tpu.dynamic_gather picks within a single vreg
-# width). The VMEM texture table is (12, chunks, 128) f32 = 6 KB per chunk;
-# cap the atlas at 4096 chunks (24 MB, = 512K texels with the quad packing).
+# width). The VMEM texture table is (4, chunks, 128) f32 = 2 KB per chunk;
+# cap the atlas at 4096 chunks (8 MB, = 512K texels with the quad packing).
+# Atlases up to _TEXTURE_UNROLL_MAX chunks use a straight-line unrolled
+# sweep (static loads, fully pipelined); larger ones use the while-loop
+# chunk-visitation path (dynamic loads, trips = chunks actually touched).
 _TEXTURE_CHUNK = 128
 _TEXTURE_CHUNK_MAX = 4096
+_TEXTURE_UNROLL_MAX = 192
 
 
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
@@ -381,101 +385,130 @@ class _KernelScene:
         reference's wrap + Nearest/Bilinear semantics — the kernel twin of
         ops/texture.py:sample_texture_packed.
 
-        A ``while_loop`` visits only the chunks some wanted lane needs:
-        each trip resolves every lane of the tile whose texel lives in the
-        currently-cheapest unresolved chunk, via one 128-lane
-        ``tpu.dynamic_gather`` per packed channel per 128-column block.
-        Texture hits are spatially coherent, so trips-per-tile is small and
-        independent of atlas size; a tile with no wanted lane exits at the
-        first loop condition. Exact: every lane receives precisely the
-        texels and blend the jnp path computes."""
+        Small atlases (≤ ``_TEXTURE_UNROLL_MAX`` chunks) use a straight-line
+        sweep: for every chunk, one 128-lane ``tpu.dynamic_gather`` per
+        packed tap + a masked select — static loads, fully pipelined, no
+        loop state. Large atlases use a ``while_loop`` that visits only the
+        chunks some wanted lane needs (texture hits are spatially coherent,
+        so trips-per-tile ≈ the tile's texel footprint, not the atlas size).
+        The whole fetch — wrap arithmetic included — is wrapped in a
+        tile-level skip, so a tile with no wanted lane pays one condition
+        check. Exact: every lane receives precisely the texels and blend the
+        jnp path computes."""
         from ..utils.modutil import fimod, imod
 
         tbl_ref, meta_ref, n_tex, wmax = self.tex
         shape = jnp.shape(u)
+        n_chunks = tbl_ref.shape[1]
 
-        def meta_sel(col):
-            out = jnp.broadcast_to(meta_ref[0, col], shape)
-            for ti in range(1, n_tex):
-                out = jnp.where(tid == ti, meta_ref[ti, col], out)
-            return out
+        def compute(_zeros):
+            def meta_sel(col):
+                out = jnp.broadcast_to(meta_ref[0, col], shape)
+                for ti in range(1, n_tex):
+                    out = jnp.where(tid == ti, meta_ref[ti, col], out)
+                return out
 
-        w = meta_sel(0)
-        h = meta_sel(1)
-        base = meta_sel(2)
-        filt = meta_sel(3)
-        wf = w.astype(jnp.float32)
-        hf = h.astype(jnp.float32)
+            w = meta_sel(0)
+            h = meta_sel(1)
+            base = meta_sel(2)
+            filt = meta_sel(3)
+            wf = w.astype(jnp.float32)
+            hf = h.astype(jnp.float32)
 
-        # Nearest truncates toward zero (render.rs:253-266); Bilinear floors
-        # (render.rs:267-296). Identical arithmetic to sample_texture_packed.
-        nx = imod(jnp.trunc(u * wf).astype(jnp.int32), w)
-        ny = imod(jnp.trunc(v * hf).astype(jnp.int32), h)
-        fu, iu = fimod(u * wf, wf)
-        fv, iv = fimod(v * hf, hf)
-        bilin = filt == 1  # FILTER_BILINEAR
-        ix = jnp.where(bilin, iu, nx)
-        iy = jnp.where(bilin, iv, ny)
+            # Nearest truncates toward zero (render.rs:253-266); Bilinear
+            # floors (render.rs:267-296). Identical arithmetic to
+            # sample_texture_packed.
+            nx = imod(jnp.trunc(u * wf).astype(jnp.int32), w)
+            ny = imod(jnp.trunc(v * hf).astype(jnp.int32), h)
+            fu, iu = fimod(u * wf, wf)
+            fv, iv = fimod(v * hf, hf)
+            bilin = filt == 1  # FILTER_BILINEAR
+            ix = jnp.where(bilin, iu, nx)
+            iy = jnp.where(bilin, iv, ny)
 
-        flat = base + iy * np.int32(wmax) + ix
-        chunk = flat // _TEXTURE_CHUNK
-        pos = flat % _TEXTURE_CHUNK
+            flat = base + iy * np.int32(wmax) + ix
+            chunk = flat // _TEXTURE_CHUNK
+            pos = flat % _TEXTURE_CHUNK
 
-        rows, cols = shape
-        n_blk = -(-cols // _TEXTURE_CHUNK)
-        pad_cols = n_blk * _TEXTURE_CHUNK - cols
-        pos_p = jnp.pad(pos, ((0, 0), (0, pad_cols))) if pad_cols else pos
+            rows, cols = shape
+            n_blk = -(-cols // _TEXTURE_CHUNK)
+            pad_cols = n_blk * _TEXTURE_CHUNK - cols
+            pos_p = (jnp.pad(pos, ((0, 0), (0, pad_cols)))
+                     if pad_cols else pos)
 
-        big = jnp.int32(np.int32(2**31 - 1))
-        resolved0 = jnp.where(want, 0, 1).astype(jnp.int32)
-        accs0 = tuple(jnp.zeros(shape, jnp.float32) for _ in range(4))
+            def gather_chunk(row_slice, sel, accs):
+                """One chunk visit: gather all four taps at ``pos`` from the
+                chunk's rows and merge them into ``accs`` where ``sel``."""
+                new_accs = []
+                for j in range(4):
+                    rowb = jnp.broadcast_to(row_slice(j),
+                                            (rows, _TEXTURE_CHUNK))
+                    blks = []
+                    for b in range(n_blk):
+                        p = pos_p[:, b * _TEXTURE_CHUNK:
+                                  (b + 1) * _TEXTURE_CHUNK]
+                        blks.append(jnp.take_along_axis(rowb, p, axis=1))
+                    vals = (blks[0] if n_blk == 1
+                            else jnp.concatenate(blks, axis=1))
+                    if pad_cols:
+                        vals = vals[:, :cols]
+                    new_accs.append(jnp.where(sel, vals, accs[j]))
+                return new_accs
 
-        def cond(state):
-            resolved = state[0]
-            return jnp.min(resolved) == 0
+            accs = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
 
-        def body(state):
-            resolved = state[0]
-            accs = state[1:]
-            unres = resolved == 0
-            cur = jnp.min(jnp.where(unres, chunk, big))
-            sel = unres & (chunk == cur)
-            new_accs = []
-            for j in range(4):
-                row = tbl_ref[j, pl.dslice(cur, 1), :]  # (1, 128) u32
-                rowb = jnp.broadcast_to(row, (rows, _TEXTURE_CHUNK))
-                blks = []
-                for b in range(n_blk):
-                    p = pos_p[:, b * _TEXTURE_CHUNK:(b + 1) * _TEXTURE_CHUNK]
-                    blks.append(jnp.take_along_axis(rowb, p, axis=1))
-                vals = blks[0] if n_blk == 1 else jnp.concatenate(blks, axis=1)
-                if pad_cols:
-                    vals = vals[:, :cols]
-                new_accs.append(jnp.where(sel, vals, accs[j]))
-            return (resolved + sel.astype(jnp.int32),) + tuple(new_accs)
+            if n_chunks <= _TEXTURE_UNROLL_MAX:
+                for k in range(n_chunks):
+                    accs = gather_chunk(
+                        lambda j, k=k: tbl_ref[j, pl.dslice(k, 1), :],
+                        chunk == k, accs,
+                    )
+            else:
+                big = jnp.int32(np.int32(2**31 - 1))
+                resolved0 = jnp.where(want, 0, 1).astype(jnp.int32)
 
-        out = lax.while_loop(cond, body, (resolved0,) + accs0)
+                def cond(state):
+                    return jnp.min(state[0]) == 0
 
-        def unpack(word_f):
-            # r | g<<8 | b<<16 (see _pack_textures; integer-valued f32 word)
-            word = word_f.astype(jnp.int32)
-            return tuple(
-                ((word >> (8 * c)) & jnp.int32(0xFF)).astype(jnp.float32)
-                for c in range(3)
-            )
+                def body(state):
+                    resolved = state[0]
+                    unres = resolved == 0
+                    cur = jnp.min(jnp.where(unres, chunk, big))
+                    sel = unres & (chunk == cur)
+                    new_accs = gather_chunk(
+                        lambda j: tbl_ref[j, pl.dslice(cur, 1), :],
+                        sel, list(state[1:]),
+                    )
+                    return (resolved + sel.astype(jnp.int32),
+                            *new_accs)
 
-        # tap layout from TextureBank.packed: p00, p10(x+1), p01(y+1), p11
-        p00, p10, p01, p11 = (unpack(w) for w in out[1:])
-        ch = []
-        for c in range(3):
-            bi = (
-                (1.0 - fu) * (1.0 - fv) * p00[c]
-                + (1.0 - fu) * fv * p01[c]
-                + fu * (1.0 - fv) * p10[c]
-                + fu * fv * p11[c]
-            )
-            ch.append(jnp.where(bilin, bi, p00[c]) / 256.0)
-        return Color(*ch)
+                out = lax.while_loop(cond, body, (resolved0, *accs))
+                accs = list(out[1:])
+
+            def unpack(word_f):
+                # r | g<<8 | b<<16 (_pack_textures; integer-valued f32 word)
+                word = word_f.astype(jnp.int32)
+                return tuple(
+                    ((word >> (8 * c)) & jnp.int32(0xFF)).astype(jnp.float32)
+                    for c in range(3)
+                )
+
+            # tap layout (TextureBank.packed): p00, p10(x+1), p01(y+1), p11
+            p00, p10, p01, p11 = (unpack(wd) for wd in accs)
+            ch = []
+            for c in range(3):
+                bi = (
+                    (1.0 - fu) * (1.0 - fv) * p00[c]
+                    + (1.0 - fu) * fv * p01[c]
+                    + fu * (1.0 - fv) * p10[c]
+                    + fu * fv * p11[c]
+                )
+                ch.append(jnp.where(bilin, bi, p00[c]) / 256.0)
+            return Color(*ch)
+
+        # Tile-level skip around the whole fetch (wrap arithmetic included):
+        # lanes outside `want` discard the result, so zeros are exact.
+        return _tile_cond(jnp.any(want), compute, Color.zero(shape))
 
 
 def _pattern_diffuse(fields: HitFields, uv) -> Color:
