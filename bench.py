@@ -7,26 +7,51 @@ semantics on this scene; measured with the scalar oracle).
 
 Prints ONE JSON line to stdout; supplementary metrics go to stderr.
 
-Measurement notes for this environment: the TPU is reached through a tunnel
-with ~30 ms per-dispatch latency and a large one-time compile overhead, so
-every timed function reduces to a scalar *inside* jit (single roundtrip) and
-the throughput numbers also report an amortized variant that chains R renders
-per dispatch.
+Measurement notes for this environment:
+* The TPU is reached through a TCP relay whose FIRST dispatch can stall for
+  minutes server-side (measured: a trivial ``jit(x+1)`` result fetch hangs
+  with ~140 B/s keepalive traffic while the process sleeps at 0 CPU — see
+  BENCH_NOTES.md "warmup stall"). That stall is environment latency, NOT
+  compile time: round 3 recorded it as a 1439.9s "warmup compile" and, since
+  every supplementary section was gated on wall-clock-since-start, silently
+  skipped the entire measurement matrix. This harness (a) absorbs the stall
+  in a trivial-jit warmup reported separately as ``tunnel_first_dispatch_s``
+  and (b) gates sections on *work time* measured from after the warmup.
+* A persistent XLA compilation cache (``.xla_bench_cache/``, gitignored)
+  carries real compile work across rounds.
+* Per-dispatch tunnel latency is ~30 ms, so timed functions reduce to a
+  scalar inside jit and forward throughput is also reported amortized over an
+  in-jit ``lax.scan`` chain of renders (CHAIN=8).
 
 Baseline: the reference publishes no numbers (BASELINE.md) and no Rust
-toolchain exists in this image, so ``vs_baseline`` is computed against a
-documented estimate of the reference's throughput: ray-rust's brute-force
-per-pixel scan (no BVH, render.rs:993-1018) on its default 8 threads
-(main.rs:48) reaches roughly 4 Mrays/s primary on a modern 8-core desktop
-CPU for this scene — a deliberately generous figure recorded in BENCH_NOTES.md.
+toolchain exists in this image, so ``vs_baseline`` divides by a documented
+ESTIMATE of the reference's throughput (BENCH_NOTES.md): ray-rust's
+brute-force per-pixel scan (no BVH, render.rs:993-1018) on its default 8
+threads (main.rs:48) reaches roughly 4 Mrays/s primary on a modern 8-core
+desktop CPU for this scene. ``baseline_is_estimate`` stays true in the JSON
+until a real ``cargo run --release`` measurement replaces it.
 """
 
 import json
+import os
 import sys
 import time
 
 RUST_BASELINE_PRIMARY_MRAYS = 4.0
 CHAIN = 8  # renders per dispatch for amortized throughput
+
+# Work-time budgets (seconds since warmup completed) gating each
+# supplementary section, in EXECUTION order — BASELINE configs first
+# (VERDICT r3 #1: the round-3 gate ordering skipped march entirely).
+BUDGETS = {
+    "march_fwd": 900,        # BASELINE config 3
+    "march_fwd_bwd": 1000,   # first-ever march gradient number
+    "stress_101": 1100,      # BASELINE config 4
+    "textured": 1200,        # reference default scene with bar.png
+    "tiled_4k": 1300,        # BASELINE config 5's render half
+    "inverse": 1400,         # BASELINE config 5's training half
+    "sharded_smoke": 1500,
+}
 
 
 def log(*a):
@@ -34,9 +59,14 @@ def log(*a):
 
 
 def main():
-    t_start = time.perf_counter()
     import jax
     import jax.numpy as jnp
+
+    cache_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                             ".xla_bench_cache")
+    jax.config.update("jax_compilation_cache_dir", cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
 
     import ray_rust_tpu as rt
     from ray_rust_tpu.renderer import render_color
@@ -50,11 +80,25 @@ def main():
     def scalar(col):
         return jnp.sum(col.r) + jnp.sum(col.g) + jnp.sum(col.b)
 
-    # Absorb the one-time compile overhead of this environment's TPU tunnel.
+    # ---- warmup: absorb the tunnel's first-dispatch stall on a trivial
+    # program, then compile a tiny render. Reported separately — neither is a
+    # property of the renderer.
     t0 = time.perf_counter()
-    warm_cfg = rt.RenderConfig(xres=32, yres=24, max_reflections=1, max_refractions=1)
+    float(jax.jit(lambda x: x + 1.0)(jnp.float32(1.0)))
+    tunnel_s = time.perf_counter() - t0
+    log(f"tunnel first dispatch (trivial jit): {tunnel_s:.1f}s")
+
+    t0 = time.perf_counter()
+    warm_cfg = rt.RenderConfig(xres=32, yres=24, max_reflections=1,
+                               max_refractions=1)
     float(jax.jit(lambda s: scalar(render_color(s, warm_cfg)))(scene))
-    log(f"warmup compile: {time.perf_counter() - t0:.1f}s")
+    warm_s = time.perf_counter() - t0
+    log(f"warmup render compile: {warm_s:.1f}s")
+
+    t_work0 = time.perf_counter()
+
+    def work_s():
+        return time.perf_counter() - t_work0
 
     W, H = 1920, 1080
     cfg = rt.RenderConfig(xres=W, yres=H)
@@ -71,63 +115,61 @@ def main():
         assert out == out, "nan"
         return dt
 
-    # ---- forward: single dispatch + amortized chain ----
+    def chain_of(render_fn, chain_cfg):
+        def chain_fn(s):
+            def body(acc, dx):
+                cam = s.camera
+                s2 = s._replace(camera=cam._replace(
+                    position=cam.position._replace(x=cam.position.x + dx)))
+                return acc + scalar(render_fn(s2, chain_cfg)), None
+
+            acc, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                jnp.arange(CHAIN, dtype=jnp.float32) * 1e-3)
+            return acc
+
+        return jax.jit(chain_fn)
+
+    # ---- total-traced-rays accounting (BASELINE.md:34-37) ----
+    total_rays = None
+    try:
+        from ray_rust_tpu.ops.accounting import count_traced_rays
+
+        total_rays = float(jax.jit(
+            lambda s: count_traced_rays(s, cfg))(scene))
+        log(f"traced rays/frame: primary {rays/1e6:.2f}M, "
+            f"total {total_rays/1e6:.2f}M ({total_rays/rays:.2f}x)")
+    except Exception as e:  # supplementary only
+        log(f"ray accounting failed: {e}")
+
+    # ---- forward: single dispatch + amortized chains ----
+    # Headline chain = the default path (Pallas kernel on TPU). The explicit
+    # use_pallas=False chain keeps the jnp/XLA oracle path tracked (VERDICT
+    # r3 weak #3: auto-on made the old "jnp" label measure the kernel twice).
     fwd = jax.jit(lambda s: scalar(render_color(s, cfg)))
     fwd_t = timed(fwd, scene, what="fwd")
     log(f"fwd 1080p single-dispatch: {fwd_t*1e3:.2f} ms")
 
-    def chain_fn(s):
-        def body(acc, dx):
-            cam = s.camera
-            s2 = s._replace(
-                camera=cam._replace(position=cam.position._replace(x=cam.position.x + dx))
-            )
-            return acc + scalar(render_color(s2, cfg)), None
-
-        acc, _ = jax.lax.scan(body, jnp.float32(0.0), jnp.arange(CHAIN, dtype=jnp.float32) * 1e-3)
-        return acc
-
-    fwd_chain = jax.jit(chain_fn)
-    chain_t = timed(fwd_chain, scene, iters=3, what="fwd-chain")
-    fwd_amort = chain_t / CHAIN
+    fwd_amort = timed(chain_of(render_color, cfg), scene, iters=3,
+                      what="fwd-chain") / CHAIN
     fwd_mrays = rays / fwd_amort / 1e6
-    log(f"fwd 1080p amortized: {fwd_amort*1e3:.2f} ms -> {fwd_mrays:.1f} Mrays/s primary")
+    log(f"fwd 1080p amortized: {fwd_amort*1e3:.2f} ms -> "
+        f"{fwd_mrays:.1f} Mrays/s primary")
 
-    # ---- forward via the fused Pallas kernel (ops/pallas_trace.py) ----
-    pallas_mrays = None
+    jnp_cfg = cfg.with_(use_pallas=False)
+    fwd_jnp_ms = None
     try:
-        from ray_rust_tpu.ops.pallas_trace import (
-            pallas_supported,
-            render_color_pallas,
-        )
+        j_t = timed(chain_of(render_color, jnp_cfg), scene, iters=3,
+                    what="fwd-jnp-chain") / CHAIN
+        fwd_jnp_ms = j_t * 1e3
+        log(f"fwd 1080p jnp/XLA amortized: {fwd_jnp_ms:.2f} ms -> "
+            f"{rays/j_t/1e6:.1f} Mrays/s primary")
+    except Exception as e:
+        log(f"jnp-path bench failed: {e}")
 
-        if pallas_supported(scene, cfg):
-            def pallas_chain(s):
-                def body(acc, dx):
-                    cam = s.camera
-                    s2 = s._replace(camera=cam._replace(
-                        position=cam.position._replace(x=cam.position.x + dx)))
-                    return acc + scalar(render_color_pallas(s2, cfg)), None
+    pallas_mrays = round(fwd_mrays, 2) if cfg.pallas_enabled() else None
 
-                acc, _ = jax.lax.scan(
-                    body, jnp.float32(0.0),
-                    jnp.arange(CHAIN, dtype=jnp.float32) * 1e-3)
-                return acc
-
-            pc = jax.jit(pallas_chain)
-            p_t = timed(pc, scene, iters=3, what="fwd-pallas-chain") / CHAIN
-            pallas_mrays = rays / p_t / 1e6
-            log(f"fwd 1080p pallas amortized: {p_t*1e3:.2f} ms -> "
-                f"{pallas_mrays:.1f} Mrays/s primary")
-            if pallas_mrays > fwd_mrays:
-                fwd_amort, fwd_mrays = p_t, pallas_mrays
-    except Exception as e:  # supplementary only
-        log(f"pallas bench failed: {e}")
-
-    # ---- forward+backward (scene-parameter gradients) ----
-    # Headline path: fused Pallas forward + fused Pallas backward kernels
-    # (ops/pallas_trace.py, custom_vjp). Falls back to the jnp/XLA autodiff
-    # path if the kernels fail on this backend.
+    # ---- forward+backward (scene-parameter gradients): the HEADLINE ----
     img0 = jax.jit(lambda s: render_color(s, cfg))(scene)
     target = jnp.stack([img0.r, img0.g, img0.b], -1) + 0.05
 
@@ -153,13 +195,27 @@ def main():
     except Exception as e:
         log(f"pallas fwd+bwd failed, falling back to jnp path: {e}")
     if fb_t is None:
-        fb_t = timed(make_fb(cfg), scene, what="fwd+bwd (jnp)")
+        fb_t = timed(make_fb(jnp_cfg), scene, what="fwd+bwd (jnp)")
     fb_mrays = rays / fb_t / 1e6
     log(f"fwd+bwd 1080p: {fb_t*1e3:.2f} ms -> {fb_mrays:.1f} Mrays/s primary")
 
+    # ---- supplementary: raymarch + glow 1280x720 (BASELINE config 3) ----
+    march_ms = None
+    if work_s() < BUDGETS["march_fwd"]:
+        try:
+            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
+                                   glow_effect=1.0, use_pallas=True)
+            march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
+            m_t = timed(march, scene, iters=2, what="march")
+            march_ms = m_t * 1e3
+            log(f"raymarch+glow 720p: {march_ms:.1f} ms -> "
+                f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
+        except Exception as e:  # supplementary only
+            log(f"march bench failed: {e}")
+
     # ---- supplementary: march fwd+bwd (implicit-VJP gradients) ----
     march_fb_ms = None
-    if time.perf_counter() - t_start < 420:
+    if work_s() < BUDGETS["march_fwd_bwd"]:
         try:
             mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
                                    glow_effect=1.0, use_pallas=True)
@@ -175,7 +231,8 @@ def main():
                         acc = acc + jnp.sum(leaf)
                 return acc
 
-            m_t = timed(jax.jit(fb_march), scene, iters=2, what="march fwd+bwd")
+            m_t = timed(jax.jit(fb_march), scene, iters=2,
+                        what="march fwd+bwd")
             march_fb_ms = m_t * 1e3
             log(f"march fwd+bwd 720p: {march_fb_ms:.1f} ms -> "
                 f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
@@ -184,7 +241,7 @@ def main():
 
     # ---- supplementary: 100-sphere deserialized stress scene (config 4) ----
     stress_ms = None
-    if time.perf_counter() - t_start < 420:
+    if work_s() < BUDGETS["stress_101"]:
         try:
             import numpy as np
 
@@ -224,7 +281,8 @@ def main():
             # Round-trip through the reference YAML format (config 4 says
             # "deserialized custom scene") so the stress path includes the
             # serializer.
-            big_scene, _, _ = deserialize_scene(serialize_scene(big_scene, big_meta))
+            big_scene, _, _ = deserialize_scene(
+                serialize_scene(big_scene, big_meta))
             # use_pallas: the fused kernel's fori_loop object path covers
             # >64-object scenes (ops/pallas_trace.py:_KernelScene)
             scfg = rt.RenderConfig(xres=640, yres=480, use_pallas=True)
@@ -238,7 +296,8 @@ def main():
 
     # ---- supplementary: textured default scene (reference's bar.png path) --
     tex_ms = None
-    if time.perf_counter() - t_start < 480:
+    tex_fb_ms = None
+    if work_s() < BUDGETS["textured"]:
         try:
             import numpy as np
 
@@ -247,7 +306,6 @@ def main():
             # The reference's default floor is textured whenever bar.png
             # exists next to the binary (src/main.rs:169). None ships with the
             # repo, so synthesize an equivalent 256x256 RGB texture.
-            import os
             import tempfile
 
             from PIL import Image
@@ -263,12 +321,32 @@ def main():
             tex_ms = t_t * 1e3
             log(f"textured 1080p fwd: {tex_ms:.1f} ms -> "
                 f"{rays/t_t/1e6:.1f} Mrays/s primary")
+
+            # textured fwd+bwd (VERDICT r3 #3: backward covers textures)
+            tkcfg = tcfg.with_(pallas_bwd=True)
+            img_t = jax.jit(lambda s: render_color(s, tkcfg))(tex_scene)
+            tgt_t = jnp.stack([img_t.r, img_t.g, img_t.b], -1) + 0.05
+
+            def fb_tex(s):
+                loss, grads = jax.value_and_grad(
+                    lambda q: render_loss(q, tkcfg, tgt_t), allow_int=True)(s)
+                acc = loss
+                for leaf in jax.tree_util.tree_leaves(grads):
+                    if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                        acc = acc + jnp.sum(leaf)
+                return acc
+
+            tb_t = timed(jax.jit(fb_tex), tex_scene, iters=2,
+                         what="textured fwd+bwd")
+            tex_fb_ms = tb_t * 1e3
+            log(f"textured 1080p fwd+bwd: {tex_fb_ms:.1f} ms -> "
+                f"{rays/tb_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"textured bench failed: {e}")
 
     # ---- supplementary: 4K tiled forward (config "long context") ----
     k4_ms = None
-    if time.perf_counter() - t_start < 540:
+    if work_s() < BUDGETS["tiled_4k"]:
         try:
             from jax.sharding import Mesh
 
@@ -292,7 +370,7 @@ def main():
 
     # ---- supplementary: inverse-rendering step rate (config 5 analogue) ----
     inv_steps_s = None
-    if time.perf_counter() - t_start < 560:
+    if work_s() < BUDGETS["inverse"]:
         try:
             from ray_rust_tpu.parallel.train import sgd_train_step
 
@@ -314,14 +392,12 @@ def main():
 
     # ---- supplementary: full-depth sharded fwd+bwd smoke (1-chip mesh) ----
     sharded_ok = None
-    if time.perf_counter() - t_start < 580:
+    if work_s() < BUDGETS["sharded_smoke"]:
         try:
-            from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+            from jax.sharding import NamedSharding, PartitionSpec as P
 
             from ray_rust_tpu.parallel.shard import make_mesh
             from ray_rust_tpu.parallel.train import sgd_train_step
-
-            import numpy as np
 
             mesh1 = make_mesh(jax.devices()[:1], dp=1, sp=1)
             ccfg = rt.RenderConfig(xres=640, yres=360)
@@ -335,30 +411,23 @@ def main():
         except Exception as e:  # supplementary only
             log(f"sharded smoke failed: {e}")
 
-    # ---- supplementary: raymarch + glow 1280x720 (config 3) ----
-    march_ms = None
-    if time.perf_counter() - t_start < 360:
-        try:
-            # use_pallas routes march mode through the fused Pallas march
-            # kernel (ops/pallas_march.py) when supported; falls back to the
-            # banded jnp while_loop path otherwise.
-            mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
-                                   glow_effect=1.0, use_pallas=True)
-            march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
-            m_t = timed(march, scene, iters=2, what="march")
-            march_ms = m_t * 1e3
-            log(f"raymarch+glow 720p: {march_ms:.1f} ms -> {1280*720/m_t/1e6:.1f} Mrays/s primary")
-        except Exception as e:  # supplementary only
-            log(f"march bench failed: {e}")
-
     extra = {
+        "tunnel_first_dispatch_s": round(tunnel_s, 1),
+        "warmup_render_compile_s": round(warm_s, 1),
         "fwd_amortized_ms": round(fwd_amort * 1e3, 3),
         "fwd_single_dispatch_ms": round(fwd_t * 1e3, 3),
         "fwd_amortized_mrays": round(fwd_mrays, 2),
         "fwd_bwd_ms": round(fb_t * 1e3, 3),
+        "baseline_is_estimate": True,
     }
+    if total_rays is not None:
+        extra["total_traced_rays_per_frame_M"] = round(total_rays / 1e6, 2)
+        extra["fwd_bwd_total_mrays"] = round(total_rays / fb_t / 1e6, 2)
+        extra["fwd_total_mrays"] = round(total_rays / fwd_amort / 1e6, 2)
+    if fwd_jnp_ms is not None:
+        extra["fwd_jnp_ms"] = round(fwd_jnp_ms, 3)
     if pallas_mrays is not None:
-        extra["fwd_pallas_mrays"] = round(pallas_mrays, 2)
+        extra["fwd_pallas_mrays"] = pallas_mrays
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
     if march_fb_ms is not None:
@@ -367,6 +436,8 @@ def main():
         extra["stress_101obj_640x480_ms"] = round(stress_ms, 1)
     if tex_ms is not None:
         extra["textured_1080p_ms"] = round(tex_ms, 1)
+    if tex_fb_ms is not None:
+        extra["textured_fwd_bwd_1080p_ms"] = round(tex_fb_ms, 1)
     if k4_ms is not None:
         extra["tiled_4k_fwd_ms"] = round(k4_ms, 1)
     if inv_steps_s is not None:
