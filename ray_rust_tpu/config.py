@@ -122,6 +122,14 @@ class RenderConfig:
     # backward's answer to the forward's tile-level early exit, which
     # reverse-mode AD cannot cross (see ops/pallas_trace.py:_make_bwd_kernel).
     pallas_bwd_prune: bool = True
+    # Site-reparameterized backward kernel (ops/pallas_bwd.py): records the
+    # per-site raycast winners in a primal pass, then differentiates a replay
+    # whose nearest-hit t is recomputed from the winner's own fields — the
+    # differentiated program contains no O(N) raycast loops, and the kernel
+    # covers textures and fori_loop-regime object counts (everything the
+    # forward kernel covers). False falls back to the round-3 re-trace
+    # backward (<=64 objects, texture-free).
+    pallas_bwd_site: bool = True
     # Column-tile width for the backward kernel's 2D grid. The reverse sweep
     # holds every forward intermediate of a tile live simultaneously, so the
     # tile must be bounded in both dimensions: a full 1920-wide row tile

@@ -81,12 +81,16 @@ _KERNEL_OBJECT_MAX = 512
 # Texture chunking for the in-kernel chunk-visitation gather: 128 texels per
 # chunk (one vreg lane row — tpu.dynamic_gather picks within a single vreg
 # width). The VMEM texture table is (4, chunks, 128) f32 = 2 KB per chunk;
-# cap the atlas at 4096 chunks (8 MB, = 512K texels with the quad packing).
+# cap the atlas at 2048 chunks (4 MB, = 256K texels with the quad packing) so
+# the table plus the kernel's working set stays comfortably inside VMEM —
+# larger atlases fall back to the jnp path via pallas_supported (ADVICE r3:
+# the old 8 MB cap could push 16 MB-class parts past their budget and fail at
+# Mosaic compile time instead of falling back).
 # Atlases up to _TEXTURE_UNROLL_MAX chunks use a straight-line unrolled
 # sweep (static loads, fully pipelined); larger ones use the while-loop
 # chunk-visitation path (dynamic loads, trips = chunks actually touched).
 _TEXTURE_CHUNK = 128
-_TEXTURE_CHUNK_MAX = 4096
+_TEXTURE_CHUNK_MAX = 2048
 _TEXTURE_UNROLL_MAX = 192
 
 
@@ -195,13 +199,16 @@ def _pack_textures(scene: Scene):
         4, t * per_tex_chunks, _TEXTURE_CHUNK
     )
 
-    # texture id -> filter of its owner material (ids are unique per
-    # material; invalid ids contribute 0 to row 0 — harmless).
+    # texture id -> filter of its owner material. build_material_table
+    # assigns a unique texture id per material, but guard against shared ids
+    # anyway (ADVICE r3): scatter-max instead of scatter-add, so duplicate
+    # ids resolve to "bilinear if any owner wants bilinear" rather than a
+    # meaningless filter sum silently degrading to nearest in-kernel.
     mats = scene.materials
     tid_m = mats.texture_id
     filt_by_tid = jnp.zeros((t,), jnp.int32).at[
         jnp.clip(tid_m, 0, t - 1)
-    ].add(jnp.where(tid_m >= 0, mats.texture_filter, 0))
+    ].max(jnp.where(tid_m >= 0, mats.texture_filter, 0))
 
     base = jnp.arange(t, dtype=jnp.int32) * np.int32(
         per_tex_chunks * _TEXTURE_CHUNK
@@ -294,7 +301,10 @@ class _KernelScene:
         return lax.fori_loop(0, self.n, body, (t, idx))
 
     # -- per-hit field fetch (replaces ops/gather.py) ------------------------
-    def gather(self, idx) -> HitFields:
+    def gather_raw(self, idx) -> dict:
+        """All per-object fields of the hit object as a dict of tile arrays
+        (includes radius/glow_dist/tid, which :class:`HitFields` drops) —
+        the site-reparameterized backward records these (ops/pallas_bwd.py)."""
         shape = jnp.shape(idx)
 
         if self.unrolled:
@@ -319,7 +329,28 @@ class _KernelScene:
                 )
 
             out = lax.fori_loop(1, self.n, body, out)
+        return out
 
+    def gather_scalar(self, idx, f32_col: int):
+        """One f32 table column of the hit object (shadow-blocker
+        transparency needs 1 of the 19 fields — 19x cheaper than gather)."""
+        shape = jnp.shape(idx)
+        if self.unrolled:
+            out = jnp.broadcast_to(self.f32[0, f32_col], shape)
+            for i in range(1, self.n):
+                out = jnp.where(idx == jnp.int32(i), self.f32[i, f32_col], out)
+            return out
+
+        def body(i, out):
+            return jnp.where(idx == i, self.f32[i, f32_col], out)
+
+        return lax.fori_loop(
+            1, self.n, body, jnp.broadcast_to(self.f32[0, f32_col], shape)
+        )
+
+    def gather(self, idx) -> HitFields:
+        shape = jnp.shape(idx)
+        out = self.gather_raw(idx)
         zero_i = jnp.zeros(shape, jnp.int32)
         return HitFields(
             kind=out["kind"],
@@ -380,10 +411,13 @@ class _KernelScene:
         return lax.fori_loop(0, self.n, body, (closest, idx, glowing))
 
     # -- in-kernel image texture sample (render.rs:249-316) ------------------
-    def fetch_texture(self, tid, u, v, want) -> Color:
-        """Sample the VMEM chunk table at per-lane (tid, u, v) with the
-        reference's wrap + Nearest/Bilinear semantics — the kernel twin of
-        ops/texture.py:sample_texture_packed.
+    def fetch_taps(self, tid, u, v, want):
+        """Gather the four packed texel taps (+ per-lane texture meta) from
+        the VMEM chunk table at (tid, u, v) with the reference's wrap
+        semantics — the non-differentiable half of the texture sample; pair
+        with :func:`_tex_blend` for the color. Returns
+        ``(p00w, p10w, p01w, p11w, wf, hf, bilin_i32)`` — packed words plus
+        the selected texture's dimensions and filter, all tile-shaped.
 
         Small atlases (≤ ``_TEXTURE_UNROLL_MAX`` chunks) use a straight-line
         sweep: for every chunk, one 128-lane ``tpu.dynamic_gather`` per
@@ -391,10 +425,10 @@ class _KernelScene:
         loop state. Large atlases use a ``while_loop`` that visits only the
         chunks some wanted lane needs (texture hits are spatially coherent,
         so trips-per-tile ≈ the tile's texel footprint, not the atlas size).
-        The whole fetch — wrap arithmetic included — is wrapped in a
+        The whole gather — wrap arithmetic included — is wrapped in a
         tile-level skip, so a tile with no wanted lane pays one condition
-        check. Exact: every lane receives precisely the texels and blend the
-        jnp path computes."""
+        check. Exact: every lane receives precisely the texels the jnp path
+        gathers."""
         from ..utils.modutil import fimod, imod
 
         tbl_ref, meta_ref, n_tex, wmax = self.tex
@@ -420,8 +454,8 @@ class _KernelScene:
             # sample_texture_packed.
             nx = imod(jnp.trunc(u * wf).astype(jnp.int32), w)
             ny = imod(jnp.trunc(v * hf).astype(jnp.int32), h)
-            fu, iu = fimod(u * wf, wf)
-            fv, iv = fimod(v * hf, hf)
+            _fu, iu = fimod(u * wf, wf)
+            _fv, iv = fimod(v * hf, hf)
             bilin = filt == 1  # FILTER_BILINEAR
             ix = jnp.where(bilin, iu, nx)
             iy = jnp.where(bilin, iv, ny)
@@ -485,30 +519,57 @@ class _KernelScene:
                 out = lax.while_loop(cond, body, (resolved0, *accs))
                 accs = list(out[1:])
 
-            def unpack(word_f):
-                # r | g<<8 | b<<16 (_pack_textures; integer-valued f32 word)
-                word = word_f.astype(jnp.int32)
-                return tuple(
-                    ((word >> (8 * c)) & jnp.int32(0xFF)).astype(jnp.float32)
-                    for c in range(3)
-                )
+            return (*accs, wf, hf, bilin.astype(jnp.int32))
 
-            # tap layout (TextureBank.packed): p00, p10(x+1), p01(y+1), p11
-            p00, p10, p01, p11 = (unpack(wd) for wd in accs)
-            ch = []
-            for c in range(3):
-                bi = (
-                    (1.0 - fu) * (1.0 - fv) * p00[c]
-                    + (1.0 - fu) * fv * p01[c]
-                    + fu * (1.0 - fv) * p10[c]
-                    + fu * fv * p11[c]
-                )
-                ch.append(jnp.where(bilin, bi, p00[c]) / 256.0)
-            return Color(*ch)
-
-        # Tile-level skip around the whole fetch (wrap arithmetic included):
+        zeros_f = jnp.zeros(shape, jnp.float32)
+        zeros_i = jnp.zeros(shape, jnp.int32)
+        # Tile-level skip around the whole gather (wrap arithmetic included):
         # lanes outside `want` discard the result, so zeros are exact.
-        return _tile_cond(jnp.any(want), compute, Color.zero(shape))
+        return _tile_cond(jnp.any(want), compute,
+                          (zeros_f,) * 6 + (zeros_i,))
+
+    def fetch_texture(self, tid, u, v, want) -> Color:
+        """Full texture sample — taps gather + filter blend; the kernel twin
+        of ops/texture.py:sample_texture_packed."""
+        return _tex_blend(self.fetch_taps(tid, u, v, want), u, v)
+
+
+def _tex_blend(taps, u, v) -> Color:
+    """Filter blend of pre-gathered packed taps (render.rs:253-296, blend
+    order pixelutil.rs:4-13). Differentiable in ``u``/``v`` through the
+    bilinear weights; the taps themselves are integer-valued constants (u8
+    texels carry no gradient), so the backward kernel replays this blend with
+    phase-1-recorded taps (ops/pallas_bwd.py). ``wf``/``hf`` are zero on
+    skipped tiles — guarded so the dead lanes' NaNs never leave a select."""
+    from ..utils.modutil import fimod
+
+    p00w, p10w, p01w, p11w, wf, hf, bilin_i = taps
+    bilin = bilin_i != 0
+    wf_s = jnp.where(wf > 0, wf, 1.0)
+    hf_s = jnp.where(hf > 0, hf, 1.0)
+    fu, _ = fimod(u * wf_s, wf_s)
+    fv, _ = fimod(v * hf_s, hf_s)
+
+    def unpack(word_f):
+        # r | g<<8 | b<<16 (_pack_textures; integer-valued f32 word)
+        word = word_f.astype(jnp.int32)
+        return tuple(
+            ((word >> (8 * c)) & jnp.int32(0xFF)).astype(jnp.float32)
+            for c in range(3)
+        )
+
+    # tap layout (TextureBank.packed): p00, p10(x+1), p01(y+1), p11
+    p00, p10, p01, p11 = (unpack(wd) for wd in (p00w, p10w, p01w, p11w))
+    ch = []
+    for c in range(3):
+        bi = (
+            (1.0 - fu) * (1.0 - fv) * p00[c]
+            + (1.0 - fu) * fv * p01[c]
+            + fu * (1.0 - fv) * p10[c]
+            + fu * fv * p11[c]
+        )
+        ch.append(jnp.where(bilin, bi, p00[c]) / 256.0)
+    return Color(*ch)
 
 
 def _pattern_diffuse(fields: HitFields, uv) -> Color:
@@ -1216,9 +1277,15 @@ def _fast_fn(cfg: RenderConfig):
         return render_color_pallas(scene, cfg), scene
 
     def bwd(scene, g):
-        # The fused backward differentiates w.r.t. per-object scalar tuples
-        # (unrolled-only, texture-free); other scenes take the jnp VJP behind
-        # the Pallas forward instead.
+        if cfg.pallas_bwd and cfg.pallas_bwd_site:
+            # Site-reparameterized backward: covers everything the forward
+            # kernel covers (textures, fori_loop object counts).
+            from .pallas_bwd import render_color_pallas_grads_site
+
+            return (render_color_pallas_grads_site(scene, cfg, g),)
+        # Round-3 re-trace backward: per-object scalar tuples (unrolled-only,
+        # texture-free); other scenes take the jnp VJP behind the Pallas
+        # forward instead.
         if (cfg.pallas_bwd and scene.objects.count <= _KERNEL_UNROLL_MAX
                 and scene.textures is None):
             return (render_color_pallas_grads(scene, cfg, g),)

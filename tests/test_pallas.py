@@ -436,8 +436,11 @@ def test_sample_texture_packed_matches_gather():
 
 
 def test_fast_path_textured_gradients_route_through_jnp():
-    """Textured scenes use the Pallas forward + jnp VJP (the fused backward
-    kernel is texture-free); gradients must equal the pure-jnp gradients."""
+    """With the site backward disabled, textured scenes use the Pallas
+    forward + jnp VJP (the round-3 re-trace backward kernel is texture-free);
+    gradients must equal the pure-jnp gradients. (With pallas_bwd_site — the
+    default — textured gradients go through the fused site-reparameterized
+    backward instead; tests/test_pallas_bwd.py covers that path.)"""
     import jax
     import jax.numpy as jnp
 
@@ -447,7 +450,8 @@ def test_fast_path_textured_gradients_route_through_jnp():
 
     scene = _textured_scene(1)
     cfg = rt.RenderConfig(xres=16, yres=8, max_reflections=1,
-                          refraction_unroll=1, pallas_bwd=True)
+                          refraction_unroll=1, pallas_bwd=True,
+                          pallas_bwd_site=False)
 
     def loss_fast(s):
         col = render_color_fast(s, cfg)
