@@ -38,7 +38,8 @@ import sys
 import time
 
 RUST_BASELINE_PRIMARY_MRAYS = 4.0
-CHAIN = 8  # renders per dispatch for amortized throughput
+CHAIN = 8  # renders per dispatch for amortized forward throughput
+FB_CHAIN = 4  # fwd+bwd steps per dispatch for the amortized headline
 
 # Work-time budgets (seconds since warmup completed) gating each
 # supplementary section, in EXECUTION order — BASELINE configs first
@@ -188,10 +189,45 @@ def main():
 
         return jax.jit(fb_scalar)
 
+    def make_fb_chain(loss_cfg):
+        """CHAIN fwd+bwd steps per dispatch (lax.scan), matching the forward
+        metric's amortization: the ~20 ms tunnel round-trip a single float()
+        fetch pays (BENCH_NOTES.md) is environment latency, not renderer
+        cost — rounds 1-3 reported it inside the headline."""
+        grad_fn = jax.value_and_grad(
+            lambda s: render_loss(s, loss_cfg, target), allow_int=True
+        )
+
+        def one(s):
+            loss, grads = grad_fn(s)
+            acc = loss
+            for leaf in jax.tree_util.tree_leaves(grads):
+                if hasattr(leaf, "dtype") and leaf.dtype == jnp.float32:
+                    acc = acc + jnp.sum(leaf)
+            return acc
+
+        def fb_chain(s):
+            def body(a, dx):
+                cam = s.camera
+                s2 = s._replace(camera=cam._replace(
+                    position=cam.position._replace(x=cam.position.x + dx)))
+                return a + one(s2), None
+
+            a, _ = jax.lax.scan(
+                body, jnp.float32(0.0),
+                jnp.arange(FB_CHAIN, dtype=jnp.float32) * 1e-3)
+            return a
+
+        return jax.jit(fb_chain)
+
     fb_t = None
+    fb_single_ms = None
+    kcfg = cfg.with_(use_pallas=True, pallas_bwd=True)
     try:
-        kcfg = cfg.with_(use_pallas=True, pallas_bwd=True)
-        fb_t = timed(make_fb(kcfg), scene, what="fwd+bwd (pallas)")
+        fb_single_ms = timed(make_fb(kcfg), scene,
+                             what="fwd+bwd (pallas, single)") * 1e3
+        fb_t = timed(make_fb_chain(kcfg), scene, iters=3,
+                     what="fwd+bwd (pallas, chain)") / FB_CHAIN
     except Exception as e:
         log(f"pallas fwd+bwd failed, falling back to jnp path: {e}")
     if fb_t is None:
@@ -420,6 +456,8 @@ def main():
         "fwd_bwd_ms": round(fb_t * 1e3, 3),
         "baseline_is_estimate": True,
     }
+    if fb_single_ms is not None:
+        extra["fwd_bwd_single_dispatch_ms"] = round(fb_single_ms, 3)
     if total_rays is not None:
         extra["total_traced_rays_per_frame_M"] = round(total_rays / 1e6, 2)
         extra["fwd_bwd_total_mrays"] = round(total_rays / fb_t / 1e6, 2)

@@ -133,10 +133,10 @@ class RenderConfig:
     # Column-tile width for the backward kernel's 2D grid. The reverse sweep
     # holds every forward intermediate of a tile live simultaneously, so the
     # tile must be bounded in both dimensions: a full 1920-wide row tile
-    # spills ~140MB of f32 state (>16MB VMEM); 8x384 fits and measured
-    # fastest at 1080p (47.4ms vs 49.1 at 512 / 50.0 at 256 — and 1920/384
-    # divides exactly, no padded-column waste). None/0 = full image width.
-    pallas_bwd_cols: int = 384
+    # spills ~140MB of f32 state (>16MB VMEM). 256 measured fastest for the
+    # site backward at 1080p (12.50 ms/step chained fwd+bwd vs 13.56 at 512);
+    # the round-3 re-trace backward preferred 384. None/0 = full image width.
+    pallas_bwd_cols: int = 256
 
     # Rematerialize each bounce step in the backward pass (recompute instead
     # of storing every (H, W) intermediate — the unrolled trace is otherwise
