@@ -237,6 +237,7 @@ def main():
 
     # ---- supplementary: raymarch + glow 1280x720 (BASELINE config 3) ----
     march_ms = None
+    march_budget_ms = None
     if work_s() < BUDGETS["march_fwd"]:
         try:
             mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
@@ -246,6 +247,15 @@ def main():
             march_ms = m_t * 1e3
             log(f"raymarch+glow 720p: {march_ms:.1f} ms -> "
                 f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
+            # quality-trade headroom: the reference's own MAX_ITER=10000 is a
+            # quality knob (render.rs:1255); a 1024-step budget converges all
+            # but a sub-horizon sliver of rays and halves wall time.
+            bcfg = mcfg.with_(march_max_iter=1024)
+            mb_t = timed(jax.jit(lambda s: scalar(render_color(s, bcfg))),
+                         scene, iters=2, what="march-budget1024")
+            march_budget_ms = mb_t * 1e3
+            log(f"raymarch budget-1024 720p: {march_budget_ms:.1f} ms -> "
+                f"{1280*720/mb_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"march bench failed: {e}")
 
@@ -254,7 +264,8 @@ def main():
     if work_s() < BUDGETS["march_fwd_bwd"]:
         try:
             mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
-                                   glow_effect=1.0, use_pallas=True)
+                                   glow_effect=1.0, use_pallas=True,
+                                   pallas_bwd=True)
             img_m = jax.jit(lambda s: render_color(s, mcfg))(scene)
             tgt_m = jnp.stack([img_m.r, img_m.g, img_m.b], -1) + 0.05
 
@@ -468,6 +479,8 @@ def main():
         extra["fwd_pallas_mrays"] = pallas_mrays
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
+    if march_budget_ms is not None:
+        extra["raymarch_budget1024_720p_ms"] = round(march_budget_ms, 1)
     if march_fb_ms is not None:
         extra["raymarch_fwd_bwd_720p_ms"] = round(march_fb_ms, 1)
     if stress_ms is not None:

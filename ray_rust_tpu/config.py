@@ -96,6 +96,14 @@ class RenderConfig:
     # converts per-lane divergence into per-tile work skipped. 0 = full
     # image width (single column tile).
     pallas_cols: int = 256
+    # March-kernel tiling/chunking (ops/pallas_march.py): narrower column
+    # tiles than the trace kernel (every march/shadow while_loop runs to the
+    # slowest live lane in the tile, and march divergence spans 10..1500
+    # steps) and more masked steps per while iteration. Swept on-chip at
+    # 720p: cols 128 + chunk 32 = 98.7 ms vs 125.7 at the trace kernel's
+    # 256/8 (r4 BENCH_NOTES).
+    pallas_march_cols: int = 128
+    pallas_march_chunk: int = 32
     # In-kernel image textures for the fused trace kernel: the
     # neighborhood-packed atlas rides in VMEM as 128-texel chunks and each
     # shading site fetches texels with a chunk-visitation gather loop

@@ -309,6 +309,7 @@ class _SiteFields:
         self.pattern_scale = t[15]
         self.pattern_angle_scale = t[16]
         self.radius = t[17]
+        self.glow_dist = t[18]
 
 
 class _KdFields(NamedTuple):
@@ -439,19 +440,19 @@ def _scatter_block(gsa, gc, gl, consumed, recs, n_objects: int,
                    rows_out: int):
     """Masked-sum transpose of the per-site winner gathers: block row i =
     object i's 19 field cotangents (table column order), row ``n_objects`` =
-    camera(7) + light(3). glow_dist (col 18) is structurally zero in trace
-    mode and skipped."""
+    camera(7) + light(3). glow_dist (col 18) is structurally zero for trace
+    sites (XLA folds those sums away) but live for march glow sites."""
     rows = []
     for i in range(n_objects):
-        per_f = [None] * (_F32_COLS - 1)
+        per_f = [None] * _F32_COLS
         for sid in consumed:
             idx_r = recs[sid][1][0]
             m = idx_r == jnp.int32(i)
-            for f in range(_F32_COLS - 1):
+            for f in range(_F32_COLS):
                 contrib = jnp.where(m, gsa[sid][f], 0.0)
                 per_f[f] = contrib if per_f[f] is None else per_f[f] + contrib
         row = jnp.zeros((1, 128), jnp.float32)
-        for f in range(_F32_COLS - 1):
+        for f in range(_F32_COLS):
             row = row + jnp.sum(per_f[f]) * _basis_row(f)
         rows.append(row)
 
@@ -632,6 +633,451 @@ def render_color_pallas_grads_site(scene: Scene, cfg: RenderConfig, g: Color,
         ) if not interpret else None,
         interpret=interpret,
     )(*inputs)
+
+    g_f32t = partials[:n, :_F32_COLS]
+    g_cam = jnp.concatenate([partials[n, :7], jnp.zeros(1, jnp.float32)])
+    g_cam = g_cam.reshape(1, 8)
+    g_light = jnp.concatenate([partials[n, 7:10], jnp.zeros(1, jnp.float32)])
+    g_light = g_light.reshape(1, 4)
+
+    def pack_f32(s):
+        ft, _, c, l = _pack_scene(s)
+        return ft, c, l
+
+    _, pvjp = jax.vjp(pack_f32, scene)
+    (scene_ct,) = pvjp((g_f32t, g_cam, g_light))
+    if return_primal:
+        if h_pad != h or w_pad != w:
+            pr, pg, pb = pr[:h, :w], pg[:h, :w], pb[:h, :w]
+        return scene_ct, Color(pr, pg, pb)
+    return scene_ct
+
+
+# ==========================================================================
+# March-mode site backward (render.rs:1299-1411 gradients)
+#
+# Same three-phase scheme, with the raycast winner-t recompute replaced by a
+# NEWTON-STEP REPARAMETERIZATION of the sphere-traced hit: the march's
+# converged t* is a root of the winner's SDF along the ray, so
+#
+#     t(p0, e, th) = stop(t*) - (D_w(p0 + e*stop(t*); th) - stop(D_w)) / ddt
+#
+# has value exactly t* and gradient exactly the implicit-function-theorem
+# pullback dt* = -(grad_D . dp0 + t* grad_D . de + D_th dth) / (grad_D . e)
+# (ops/march.py's closed-form implicit VJP, evaluated against the winner's
+# recorded fields; ddt = grad_D . e is closed-form for sphere/floor SDFs).
+# The glow channel replays ops/march.py's envelope contract: the argmin
+# sample position is a recorded constant (interior case) or tied to the
+# replayed hit point (endpoint case), and the glow metric differentiates
+# through the recorded argmin object's fields.
+# ==========================================================================
+
+
+def _march_unroll_nodes(cfg: RenderConfig):
+    """March laps use the compile-time reflection cap (render.rs:1368,1391)."""
+    return _site_nodes(cfg.with_(max_reflections=cfg.raymarch_max_reflections))
+
+
+def _glow_sid_map(nodes, n_sites: int):
+    """One glow record per _raymarch invocation, keyed by the parent site id
+    (-1 = root); sids allocated after the per-lap site ids."""
+    mapping = {}
+    ctr = [n_sites]
+
+    def walk(nodes, parent):
+        mapping[parent] = ctr[0]
+        ctr[0] += 1
+        for n in nodes:
+            if n.children:
+                walk(n.children, n.sid)
+
+    walk(nodes, -1)
+    return mapping
+
+
+def _winner_sdf(kind, sa: _SiteFields, x: Vec3, clamped: bool):
+    """The winner object's SDF at ``x`` from its recorded fields
+    (render.rs:473-475, 571-573), differentiable in the fields."""
+    d = x - sa.org
+    sq = d.squared_len()
+    ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    d_sphere = jnp.where(sq > 0, ln, 0.0) - sa.radius
+    d_floor = d.dot(sa.normal)
+    if clamped:
+        d_sphere = jnp.maximum(d_sphere, 0.0)
+        d_floor = jnp.maximum(d_floor, 0.0)
+    return jnp.where(kind == KIND_SPHERE, d_sphere, d_floor)
+
+
+def _winner_ddt(raw: dict, pt: Vec3, eye: Vec3):
+    """grad_D . e of the winner at the hit, closed form (primal only)."""
+    d = pt - raw["org"]
+    sq = d.squared_len()
+    ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+    sph = d.dot(eye) / jnp.where(sq > 0, ln, 1.0)
+    flo = raw["normal"].dot(eye)
+    return jnp.where(raw["kind"] == KIND_SPHERE, sph, flo)
+
+
+_N_MEXT = 2   # per-site march extras: travel t*, ddt
+_N_GEXT = 6   # glow extras: min_dist, gpos xyz, end flag, lap index
+
+
+def _p1_march(ks: _KernelScene, cfg: RenderConfig, nodes, glow_map,
+              parent_key, vi: Vec3, eye: Vec3, flags, ig, active, lev: int):
+    """Primal march recording (mirrors pallas_march._raymarch lap-for-lap,
+    including the cached-march reuse and miss-keeps-lapping quirk)."""
+    from .pallas_march import _march_single
+
+    shape = jnp.shape(eye.x)
+    fcs = Color.full(1.0, 1.0, 1.0, shape)
+    recs = {}
+    pos = vi
+    light = ks.light
+    zero_i = jnp.zeros(shape, jnp.int32)
+
+    min_min = jnp.full(shape, _BIG, jnp.float32)
+    g_pos = Vec3(*(jnp.zeros(shape, jnp.float32) for _ in range(3)))
+    g_obj = jnp.zeros(shape, jnp.int32)
+    g_end = jnp.zeros(shape, jnp.int32)
+    g_lap = jnp.zeros(shape, jnp.int32)
+
+    need_march = active
+    res = None
+    res_gobj = None
+    for step, node in enumerate(nodes):
+        lev_i = lev + 1 + step
+
+        new_res, new_gobj = _march_single(ks, cfg, pos, eye, ig, need_march,
+                                          record_glow=True)
+        if res is None:
+            res, res_gobj = new_res, new_gobj
+        else:
+            res = jax.tree_util.tree_map(
+                lambda new, old: jnp.where(need_march, new, old), new_res, res
+            )
+            res_gobj = jnp.where(need_march, new_gobj, res_gobj)
+
+        hit = res.final_dist < cfg.march_eps
+        # glow argmin across laps (march kernel's min_min_dist), with the
+        # per-march endpoint flag (ops/march.py end_arg contract)
+        gupd = active & (res.min_dist < min_min)
+        min_min = jnp.where(gupd, res.min_dist, min_min)
+        g_pos = res.glow_pos.where(gupd, g_pos)
+        g_obj = jnp.where(gupd, res_gobj, g_obj)
+        end_arg = hit & (res.glow_iter == res.iter - 1)
+        g_end = jnp.where(gupd, end_arg.astype(jnp.int32), g_end)
+        g_lap = jnp.where(gupd, jnp.int32(step), g_lap)
+
+        pt = res.pos
+        raw = ks.gather_raw(res.idx)
+        sphere_n = (pt - raw["org"]).normalized()
+        n = sphere_n.where(raw["kind"] == KIND_SPHERE, raw["normal"])
+        shaded = active & hit
+
+        ddt = _winner_ddt(raw, pt, eye)
+
+        # shadow via sphere tracing; march-mode lit checks the SHADED
+        # object's transparency (reference quirk, render.rs:1053-1080)
+        sres = _march_single(ks, cfg, pt + light * F32_EPSILON,
+                             light.broadcast_to(pt.shape), res.idx, shaded)
+        lit = ((sres.travel_dist >= cfg.far_away)
+               | (sres.iter >= cfg.march_max_iter)
+               | (raw["transparency"] > 0.0))
+
+        recs[node.sid] = (
+            _raw_to_f19(raw),
+            (res.idx, hit.astype(jnp.int32), flags, lit.astype(jnp.int32),
+             raw["kind"], raw["uvmap"], raw["pattern"]),
+            (res.travel_dist, ddt),
+        )
+
+        if node.children:
+            f = raw["transparency"]
+            sp = eye.dot(n)
+            fracn_safe = jnp.where(
+                (f > 0.0) & (jnp.abs(raw["refraction"]) > 1e-6),
+                raw["refraction"], 1.0)
+            bend = sp * (jnp.where(sp > 0.0, fracn_safe,
+                                   1.0 / fracn_safe) - 1.0)
+            ray = (eye + Vec3(n.x * bend, n.y * bend,
+                              n.z * bend)).normalized()
+            pt3 = pt + ray * F32_EPSILON
+            sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
+            sub = _p1_march(ks, cfg, node.children, glow_map, node.sid,
+                            pt3, ray, sub_flags, res.idx, (f > 0.0) & shaded,
+                            lev_i)
+            recs.update(sub)
+
+        _zero = Color.zero(shape)
+        _, fcs = _accumulate(_zero, fcs, _zero, raw["specular"], shaded,
+                             flags)
+        cont_hit = (hit & (res.idx != 0) & (fcs.sum() > 0.1)
+                    & (lev_i < cfg.raymarch_max_reflections))
+        cont = active & (cont_hit | ~hit)
+        upd = active & cont_hit
+        from .trace import _reflect_update
+
+        pos, eye, flags, ig = _reflect_update(pos, eye, flags, ig, pt, n,
+                                              res.idx, upd)
+        active = cont
+        need_march = upd
+
+    glow_raw = ks.gather_raw(g_obj)
+    recs[glow_map[parent_key]] = (
+        _raw_to_f19(glow_raw),
+        (g_obj, zero_i, zero_i, zero_i,
+         glow_raw["kind"], zero_i, zero_i),
+        (min_min, g_pos.x, g_pos.y, g_pos.z,
+         g_end.astype(jnp.float32), g_lap.astype(jnp.float32)),
+    )
+    return recs
+
+
+def _p2_march_replay(vcfg: RenderConfig, nodes, recs: dict, sargs, glow_map,
+                     parent_key, light: Vec3, bg_fn, vi: Vec3, eye: Vec3,
+                     lev: int, active) -> Color:
+    """Differentiable march replay (mirrors pallas_march._raymarch) with the
+    Newton-reparameterized hit t and the recorded-argmin glow factor."""
+    shape = jnp.shape(eye.x)
+    fcs = Color.full(1.0, 1.0, 1.0, shape)
+    ret = Color.zero(shape)
+    active = jnp.broadcast_to(active, shape)
+    pos = vi
+    pts = []
+    cap = _unroll_cap(vcfg)
+
+    for step, node in enumerate(nodes):
+        lev_i = lev + 1 + step
+        _, ints, mext = recs[node.sid]
+        idx_r, hit_i, flags_r, lit_i, kind_r, uvmap_r, pattern_r = ints
+        t_rec, ddt_rec = mext
+        sa = _SiteFields(sargs[node.sid])
+        hit = hit_i != 0
+
+        # Newton reparameterization of the sphere-traced hit
+        t_c = lax.stop_gradient(t_rec)
+        x_hat = pos + eye * t_c
+        D = _winner_sdf(kind_r, sa, x_hat, clamped=False)
+        safe = hit & (jnp.abs(ddt_rec) > 1e-5)
+        t = t_c - jnp.where(
+            safe, (D - lax.stop_gradient(D)) / jnp.where(safe, ddt_rec, 1.0),
+            0.0)
+        pt = pos + eye * t
+        if vcfg.grad_distance_cutoff is not None:
+            near = t_c < vcfg.grad_distance_cutoff
+            pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
+        pts.append(pt)
+        sphere_n = (pt - sa.org).normalized()
+        n = sphere_n.where(kind_r == KIND_SPHERE, sa.normal)
+        shaded = active & hit
+
+        # shading (recorded lit, no textures in march mode)
+        li = light.dot(n)
+        ln2 = 2.0 * li
+        rtl = Vec3(n.x * ln2, n.y * ln2, n.z * ln2) - light
+        di = jnp.maximum(li, 0.0)
+        ri = -rtl.dot(eye)
+        ri_safe = jnp.where(ri > 0.0, ri, 1.0)
+        refl_int = jnp.where((sa.pn != 0.0) & (ri > 0.0),
+                             _powf(ri_safe, sa.pn), 0.0)
+        lit = lit_i != 0
+        k1 = jnp.where(lit, jnp.minimum(0.2 + di, 1.0), 0.2)
+        k2 = jnp.where(lit, refl_int, 0.0)
+        ps_safe = jnp.where(sa.pattern_scale != 0.0, sa.pattern_scale, 1.0)
+        pas_safe = jnp.where(sa.pattern_angle_scale != 0.0,
+                             sa.pattern_angle_scale, 1.0)
+        uv = get_uv(pt - sa.org, uvmap_r, ps_safe, pas_safe)
+        kd = _pattern_diffuse(_KdFields(sa.diffuse, pattern_r), uv)
+        base = Color(kd.r * k1 + k2, kd.g * k1 + k2, kd.b * k1 + k2)
+
+        if node.children and lev_i < cap:
+            f = sa.transparency
+            sp = eye.dot(n)
+            fracn_safe = jnp.where(
+                (f > 0.0) & (jnp.abs(sa.refraction) > 1e-6),
+                sa.refraction, 1.0)
+            bend = sp * (jnp.where(sp > 0.0, fracn_safe,
+                                   1.0 / fracn_safe) - 1.0)
+            ray = (eye + Vec3(n.x * bend, n.y * bend,
+                              n.z * bend)).normalized()
+            pt3 = pt + ray * F32_EPSILON
+            fc2 = _p2_march_replay(vcfg, node.children, recs, sargs,
+                                   glow_map, node.sid, light, bg_fn, pt3,
+                                   ray, lev_i, (f > 0.0) & shaded)
+            blended = Color(
+                (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
+                (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
+                (kd.b * k1 + k2) * (1.0 - f) + fc2.b * f,
+            )
+            face = blended.where(f > 0.0, base)
+        else:
+            face = base
+
+        ret, fcs = _accumulate(ret, fcs, face, sa.specular, shaded, flags_r)
+
+        # march-mode miss re-adds the background every remaining lap
+        # (reference quirk, render.rs:1385-1391)
+        miss = active & ~hit
+        bg = bg_fn(light, eye)
+        ret = Color(
+            ret.r + jnp.where(miss, bg.r * fcs.r, 0.0),
+            ret.g + jnp.where(miss, bg.g * fcs.g, 0.0),
+            ret.b + jnp.where(miss, bg.b * fcs.b, 0.0),
+        )
+
+        cont_hit = (hit & (idx_r != 0) & (fcs.sum() > 0.1)
+                    & (lev_i < vcfg.raymarch_max_reflections))
+        cont = active & (cont_hit | ~hit)
+        upd = active & cont_hit
+        en2 = -2.0 * eye.dot(n)
+        new_eye = eye + Vec3(n.x * en2, n.y * en2, n.z * en2)
+        pos = pt.where(upd, pos)
+        eye = new_eye.where(upd, eye)
+        active = cont
+
+    if vcfg.glow_effect is not None:
+        gf19, gints, gext = recs[glow_map[parent_key]]
+        gsa = _SiteFields(sargs[glow_map[parent_key]])
+        gkind = gints[4]
+        min_rec, gpx, gpy, gpz, g_end, g_lap = gext
+        has = jnp.isfinite(min_rec)
+
+        xg = Vec3(lax.stop_gradient(gpx), lax.stop_gradient(gpy),
+                  lax.stop_gradient(gpz))
+        # endpoint argmin: the sample position tracks the moving surface —
+        # tie it to the argmin lap's replayed (differentiable) hit point,
+        # value unchanged (ops/march.py's end_arg routing)
+        pt_sel = pts[0]
+        for k in range(1, len(pts)):
+            pt_sel = pts[k].where(g_lap == float(k), pt_sel)
+        xg_end = pt_sel + (xg - Vec3(*(lax.stop_gradient(c)
+                                       for c in pt_sel)))
+        xg = xg_end.where(g_end != 0, xg)
+
+        d_go = _winner_sdf(gkind, gsa, xg, clamped=True)
+        minv = d_go * gsa.glow_dist
+        g = jnp.float32(vcfg.glow_effect)
+        factor = jnp.where(has, 1.0 + g * _powf(jnp.float32(0.99),
+                                                jnp.where(has, minv, 0.0)),
+                           1.0)
+        ret = Color(ret.r * factor, ret.g * factor, ret.b * factor)
+    return ret
+
+
+def _make_march_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
+                           tile_cols: int, rows_out: int, col_grid: bool):
+    nodes = _march_unroll_nodes(cfg)
+    n_sites = _count_sites(nodes)
+    glow_map = _glow_sid_map(nodes, n_sites)
+    n_all = n_sites + len(glow_map)
+    bg_fn = get_bg(cfg.bg)
+    all_sids = list(range(n_all))
+
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, gr_ref, gg_ref, gb_ref,
+               out_ref, pr_ref, pg_ref, pb_ref):
+        shape = (tile_rows, tile_cols)
+        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
+        row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
+        vi0, eye0 = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
+
+        recs = _p1_march(ks, cfg, nodes, glow_map, -1, vi0, eye0,
+                         jnp.zeros(shape, jnp.int32),
+                         jnp.full(shape, -1, jnp.int32),
+                         jnp.ones(shape, bool), 0)
+        sargs_all = tuple(recs[sid][0] for sid in sorted(recs))
+
+        camargs = tuple(jnp.broadcast_to(cam_ref[0, k], shape)
+                        for k in range(7))
+        lightargs = tuple(jnp.broadcast_to(light_ref[0, k], shape)
+                          for k in range(3))
+        g = (gr_ref[...], gg_ref[...], gb_ref[...])
+
+        def tile_fn(sargs, camargs, lightargs):
+            vi, eye = _tile_rays(_Rows((camargs,)), cfg, tile_rows,
+                                 tile_cols, row0, col0)
+            light = Vec3(lightargs[0], lightargs[1], lightargs[2])
+            out = _p2_march_replay(cfg, nodes, recs, sargs, glow_map, -1,
+                                   light, bg_fn, vi, eye, 0,
+                                   jnp.ones(shape, bool))
+            return out.r, out.g, out.b
+
+        primal, vjpf = jax.vjp(tile_fn, sargs_all, camargs, lightargs)
+        gsa, gc, gl = vjpf(g)
+        block = _scatter_block(gsa, gc, gl, all_sids, recs, n_objects,
+                               rows_out)
+
+        pr_ref[:], pg_ref[:], pb_ref[:] = primal
+        first = pl.program_id(0) == 0
+        if col_grid:
+            first = first & (pl.program_id(1) == 0)
+        out_ref[:] = jnp.where(first, 0.0, out_ref[:]) + block
+
+    return kernel
+
+
+def render_color_pallas_march_grads(scene: Scene, cfg: RenderConfig,
+                                    g: Color, interpret: bool | None = None,
+                                    return_primal: bool = False):
+    """Scene cotangent for march mode via the site-recording backward kernel
+    (fwd support predicate: pallas_march_supported)."""
+    from .pallas_march import pallas_march_supported
+
+    if not pallas_march_supported(scene, cfg):
+        raise ValueError("scene/config outside the fused march kernel's "
+                         "support; use the jnp VJP")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
+
+    h, w = cfg.yres, cfg.xres
+    tile_rows = cfg.pallas_rows
+    # phase 1's marches dominate — tile like the forward march kernel
+    tile_cols = min(cfg.pallas_march_cols, w) if cfg.pallas_march_cols else w
+    h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
+    w_pad = ((w + tile_cols - 1) // tile_cols) * tile_cols
+    n = scene.objects.count
+    rows_out = ((n + 1 + 7) // 8) * 8
+
+    f32t, i32t, cam, light = _pack_scene(scene)
+
+    def pad_hw(a):
+        if h_pad != h or w_pad != w:
+            return jnp.pad(a, ((0, h_pad - h), (0, w_pad - w)))
+        return a
+
+    gr, gg, gb = pad_hw(g.r), pad_hw(g.g), pad_hw(g.b)
+
+    n_col_tiles = w_pad // tile_cols
+    col_grid = n_col_tiles > 1
+    if col_grid:
+        grid = (h_pad // tile_rows, n_col_tiles)
+        img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i, j: (i, j),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((rows_out, 128), lambda i, j: (0, 0),
+                                memory_space=pltpu.VMEM)
+    else:
+        grid = (h_pad // tile_rows,)
+        img_spec = pl.BlockSpec((tile_rows, tile_cols), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)
+        out_spec = pl.BlockSpec((rows_out, 128), lambda i: (0, 0),
+                                memory_space=pltpu.VMEM)
+
+    kernel = _make_march_bwd_kernel(cfg, n, tile_rows, tile_cols, rows_out,
+                                    col_grid)
+    smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    img_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
+    partials, pr, pg, pb = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[smem(), smem(), smem(), smem()] + [img_spec] * 3,
+        out_specs=(out_spec,) + (img_spec,) * 3,
+        out_shape=(jax.ShapeDtypeStruct((rows_out, 128), jnp.float32),)
+        + (img_shape,) * 3,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=100 * 1024 * 1024
+        ) if not interpret else None,
+        interpret=interpret,
+    )(f32t, i32t, cam, light, gr, gg, gb)
 
     g_f32t = partials[:n, :_F32_COLS]
     g_cam = jnp.concatenate([partials[n, :7], jnp.zeros(1, jnp.float32)])

@@ -73,11 +73,17 @@ def pallas_march_supported(scene: Scene, cfg: RenderConfig) -> bool:
 
 
 def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
-                  eye: Vec3, ig, active) -> MarchResult:
+                  eye: Vec3, ig, active,
+                  record_glow: bool = False) -> MarchResult:
     """Kernel-side sphere tracing (render.rs:1266-1297); mirrors
     ops/march.py:march_single's while mode. The whole tile's march state is a
     while_loop carry in VMEM; the loop exits when every live lane converges,
-    escapes, or passes the iteration cap."""
+    escapes, or passes the iteration cap.
+
+    ``record_glow`` additionally tracks the glow argmin's sample position,
+    object index and step index (ops/march.py's glow_pos/glow_iter contract)
+    — carried state for the site-recording backward (ops/pallas_bwd.py);
+    the pure forward kernel leaves it off."""
     shape = jnp.shape(init_pos.x)
     # The done mask is carried as int32 (1 = done): Mosaic fails to legalize
     # while_loops with vector-of-i1 carries ('scf.yield' legalization error).
@@ -90,10 +96,17 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         jnp.zeros(shape, jnp.int32),             # idx
         (~active).astype(jnp.int32),             # done (0/1)
     )
+    if record_glow:
+        state = state + (
+            init_pos.x, init_pos.y, init_pos.z,   # glow argmin pos
+            jnp.zeros(shape, jnp.int32),          # glow argmin object
+            jnp.full(shape, -1, jnp.int32),       # glow argmin step (pre-inc)
+        )
 
     def once(s):
-        px, py, pz, travel, it, mind, fd, idx, done = s
-        dist, i, glow = ks.distance_estimate(Vec3(px, py, pz), ig)
+        px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+        dist, i, glow, gobj = ks.distance_estimate(
+            Vec3(px, py, pz), ig, with_glow_idx=record_glow)
         live = done == 0
         new_it = it + 1
         stop = (
@@ -101,31 +114,47 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
             | (dist > cfg.far_away)
             | (new_it > cfg.march_max_iter)
         )
-        return (
+        gupd = live & (glow < mind)
+        out = (
             jnp.where(live, px + eye.x * dist, px),
             jnp.where(live, py + eye.y * dist, py),
             jnp.where(live, pz + eye.z * dist, pz),
             jnp.where(live, travel + dist, travel),
             jnp.where(live, new_it, it),
-            jnp.where(live & (glow < mind), glow, mind),
+            jnp.where(gupd, glow, mind),
             jnp.where(live, dist, fd),
             jnp.where(live, i, idx),
             jnp.maximum(done, (live & stop).astype(jnp.int32)),
         )
+        if record_glow:
+            gx, gy, gz, go, gi = s[9:]
+            out = out + (
+                jnp.where(gupd, px, gx),
+                jnp.where(gupd, py, gy),
+                jnp.where(gupd, pz, gz),
+                jnp.where(gupd, gobj, go),
+                jnp.where(gupd, it, gi),
+            )
+        return out
 
-    chunk = max(1, cfg.march_chunk)
+    chunk = max(1, cfg.pallas_march_chunk)
 
     def body(s):
         for _ in range(chunk):
             s = once(s)
         return s
 
-    state = lax.while_loop(lambda s: jnp.min(s[-1]) == 0, body, state)
-    px, py, pz, travel, it, mind, fd, idx, _ = state
-    return MarchResult(
+    state = lax.while_loop(lambda s: jnp.min(s[8]) == 0, body, state)
+    px, py, pz, travel, it, mind, fd, idx = state[:8]
+    res = MarchResult(
         final_dist=fd, idx=idx, pos=Vec3(px, py, pz), iter=it,
         travel_dist=travel, min_dist=mind,
     )
+    if record_glow:
+        gx, gy, gz, go, gi = state[9:]
+        res = res._replace(glow_pos=Vec3(gx, gy, gz), glow_iter=gi)
+        return res, go
+    return res
 
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields, n: Vec3,
@@ -306,7 +335,7 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
     h, w = shape if shape is not None else (cfg.yres, cfg.xres)
     tile_rows = cfg.pallas_rows
     grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(
-        cfg, (h, w))
+        cfg.with_(pallas_cols=cfg.pallas_march_cols), (h, w))
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)

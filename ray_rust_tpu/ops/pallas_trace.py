@@ -375,13 +375,19 @@ class _KernelScene:
         return sphere_n.where(fields.kind == KIND_SPHERE, fields.normal)
 
     # -- scene SDF + glow metric (render.rs:1226-1251) -----------------------
-    def distance_estimate(self, pos: Vec3, ig):
-        """Mirrors ops/march.py:distance_estimate over the SMEM object table."""
+    def distance_estimate(self, pos: Vec3, ig, with_glow_idx: bool = False):
+        """Mirrors ops/march.py:distance_estimate over the SMEM object table.
+
+        Returns ``(closest, idx, glowing, glow_idx)``; ``glow_idx`` (the
+        glow-metric argmin's object) is tracked only when ``with_glow_idx``
+        (the site-recording backward needs it), else None."""
         closest = jnp.full(pos.shape, _BIG, jnp.float32)
         idx = jnp.zeros(pos.shape, jnp.int32)
         glowing = jnp.full(pos.shape, _BIG, jnp.float32)
+        glow_idx = (jnp.zeros(pos.shape, jnp.int32) if with_glow_idx
+                    else None)
 
-        def one(i, o, closest, idx, glowing):
+        def one(i, o, closest, idx, glowing, glow_idx):
             delta = o["org"] - pos
             sq = delta.squared_len()
             length = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
@@ -397,18 +403,28 @@ class _KernelScene:
             glow = dist * o["glow_dist"]
             gupd = ~skip & (glow > 0.0) & (glow < glowing)
             glowing = jnp.where(gupd, glow, glowing)
-            return closest, idx, glowing
+            if glow_idx is not None:
+                glow_idx = jnp.where(gupd, i, glow_idx)
+            return closest, idx, glowing, glow_idx
 
         if self.unrolled:
             for i, o in enumerate(self.objs):
-                closest, idx, glowing = one(jnp.int32(i), o, closest, idx,
-                                            glowing)
-            return closest, idx, glowing
+                closest, idx, glowing, glow_idx = one(
+                    jnp.int32(i), o, closest, idx, glowing, glow_idx)
+            return closest, idx, glowing, glow_idx
+
+        if with_glow_idx:
+            def body_g(i, carry):
+                return one(i, self._obj_at(i), *carry)
+
+            return lax.fori_loop(0, self.n, body_g,
+                                 (closest, idx, glowing, glow_idx))
 
         def body(i, carry):
-            return one(i, self._obj_at(i), *carry)
+            return one(i, self._obj_at(i), *carry, None)[:3]
 
-        return lax.fori_loop(0, self.n, body, (closest, idx, glowing))
+        out = lax.fori_loop(0, self.n, body, (closest, idx, glowing))
+        return out + (None,)
 
     # -- in-kernel image texture sample (render.rs:249-316) ------------------
     def fetch_taps(self, tid, u, v, want):
@@ -1319,6 +1335,15 @@ def _fast_march_fn(cfg: RenderConfig):
         return render_color_pallas_march(scene, cfg), scene
 
     def bwd(scene, g):
+        if cfg.pallas_bwd and cfg.pallas_bwd_site:
+            # Site-recording march backward (ops/pallas_bwd.py): re-marches in
+            # kernel (whole-program remat) and replays with the Newton-
+            # reparameterized hit — ~a second march-kernel pass instead of the
+            # jnp while-march re-render (~10x at 720p, and none of its
+            # multi-thousand-second XLA compile).
+            from .pallas_bwd import render_color_pallas_march_grads
+
+            return (render_color_pallas_march_grads(scene, cfg, g),)
         _, vjp = jax.vjp(jnp_forward, scene)
         return vjp(g)
 

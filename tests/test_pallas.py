@@ -465,3 +465,50 @@ def test_fast_path_textured_gradients_route_through_jnp():
     g_fast = jax.grad(loss_fast, allow_int=True)(scene).objects.org.x
     g_ref = jax.grad(loss_jnp, allow_int=True)(scene).objects.org.x
     assert np.allclose(np.asarray(g_ref), np.asarray(g_fast), rtol=1e-5)
+
+
+def test_pallas_texture_while_path_multi_texture_multiblock():
+    """ADVICE r3: exercise the texture paths the small-atlas tests miss, all
+    at once — the while-loop chunk-visitation gather (>192-chunk atlas), the
+    multi-block gather (tile cols > 128 lanes), and multi-texture meta
+    selection with different filters (tid >= 1).
+
+    Scene: two textured objects — a 200x128 floor texture (200 chunks ->
+    while path, bilinear) and a second texture on a sphere (nearest) — at
+    xres=160 (n_blk=2 in the chunk gather)."""
+    from ray_rust_tpu.ops.pallas_trace import (
+        _TEXTURE_UNROLL_MAX,
+        pallas_supported,
+        render_color_pallas,
+    )
+
+    rng = np.random.default_rng(23)
+    tex_floor = rng.integers(0, 256, (200, 128, 3)).astype(np.uint8)
+    tex_ball = rng.integers(0, 256, (9, 14, 3)).astype(np.uint8)
+    mats = [
+        rt.MaterialSpec(name="texfloor", diffuse=(1.0, 1.0, 0.0),
+                        pattern_scale=300.0, pattern_angle_scale=0.2,
+                        texture_filter=1, texture=tex_floor),
+        rt.MaterialSpec(name="texball", diffuse=(0.5, 0.5, 0.5),
+                        pattern_scale=80.0, texture_filter=0,
+                        texture=tex_ball),
+    ]
+    objs = [
+        rt.FloorSpec("texfloor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0),
+                     uvmap=2),
+        rt.SphereSpec("texball", 120.0, (30.0, -160.0, 180.0)),
+    ]
+    scene, _ = rt.build_scene(mats, objs, (0.3, -150.0, -300.0),
+                              (0.0, -np.pi / 2, -np.pi / 2),
+                              (50.0, 60.0, -50.0))
+    # both textures padded to (200, 128): 200 chunks each -> 400 total
+    t, hmax, wmax = scene.textures.data.shape[:3]
+    assert t == 2
+    assert -(-(hmax * wmax) // 128) * t > _TEXTURE_UNROLL_MAX
+
+    cfg = rt.RenderConfig(xres=160, yres=32, max_reflections=1,
+                          refraction_unroll=0, pallas_cols=160)
+    assert pallas_supported(scene, cfg)
+    ref = _img_np(render(scene, cfg.with_(use_pallas=False)))
+    got = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    _compare(ref, got, frac_budget=0.08, mean_tol=0.03)

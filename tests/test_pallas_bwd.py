@@ -182,3 +182,72 @@ def test_fast_path_routes_textured_bwd_through_site_kernel(monkeypatch):
     assert called["n"] == 1
     assert np.isfinite(np.asarray(g.objects.org.x)).all()
     _fast_fn.cache_clear()
+
+
+def _compare_march_bwd(glow):
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.models.vec import Color
+    from ray_rust_tpu.ops.pallas_bwd import render_color_pallas_march_grads
+    from ray_rust_tpu.ops.rays import camera_rays
+    from ray_rust_tpu.ops.trace import trace_image
+
+    W, H = 32, 16
+    scene, _ = rt.default_scene()
+    scene = scene._replace(camera=scene.camera._replace(
+        position=scene.camera.position._replace(x=jnp.float32(0.37))))
+    cfg = rt.RenderConfig(xres=W, yres=H, use_raymarching=True,
+                          glow_effect=glow, pallas_bwd=True,
+                          raymarch_max_reflections=2, max_refractions=1,
+                          refraction_unroll=1, march_max_iter=512)
+
+    def jnp_fwd(s):
+        vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)
+        return trace_image(s, cfg.with_(use_pallas=False, march_tiles=1),
+                           vi, eye)
+
+    ones = Color(*(jnp.ones((H, W), jnp.float32) for _ in range(3)))
+    _, primal = render_color_pallas_march_grads(scene, cfg, ones,
+                                                interpret=True,
+                                                return_primal=True)
+    imgj = _img_np(jnp_fwd(scene))
+    agree = (np.abs(_img_np(primal) - imgj).max(-1) < 1e-4)
+    assert agree.mean() > 0.9, f"forwards agree on {agree.mean():.0%}"
+
+    rng = np.random.default_rng(0)
+    gm = rng.standard_normal((H, W)).astype(np.float32) * agree
+    g = Color(*(jnp.asarray(gm) for _ in range(3)))
+    ct = render_color_pallas_march_grads(scene, cfg, g, interpret=True)
+    _, vjp = jax.vjp(jnp_fwd, scene)
+    (ct_ref,) = vjp(g)
+
+    paths = jax.tree_util.tree_flatten_with_path(ct)[0]
+    lb = jax.tree_util.tree_leaves(ct_ref)
+    for (path, a), b in zip(paths, lb):
+        if getattr(a, "dtype", None) is None or str(a.dtype) != "float32":
+            continue
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        ks = jax.tree_util.keystr(path)
+        if "pattern_scale" in ks:
+            assert np.isfinite(a).all()
+            continue
+        denom = max(np.linalg.norm(b), 1e-2)
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.02, (
+            f"{ks}: relative-L2 grad diff {rel:.4f} (leaf norm {denom:.3g})"
+        )
+
+
+def test_march_site_bwd_with_glow():
+    """March-mode site backward vs the jnp implicit-VJP path, glow on: the
+    Newton-reparameterized hit t (IFT pullback against recorded winner
+    fields) plus the recorded-argmin glow envelope, incl. the endpoint
+    routing through the replayed hit point (ops/march.py:243-313)."""
+    _compare_march_bwd(glow=1.0)
+
+
+@pytest.mark.slow
+def test_march_site_bwd_no_glow():
+    _compare_march_bwd(glow=None)
