@@ -128,7 +128,7 @@ def test_pallas_march_matches_jnp():
     scene, _ = rt.default_scene()
     cfg = rt.RenderConfig(xres=32, yres=24, use_raymarching=True,
                           glow_effect=1.0, max_refractions=1,
-                          march_max_iter=2000)
+                          march_max_iter=2000, pallas_march_chunk=4)
     assert pallas_march_supported(scene, cfg)
     ref = _img_np(render(scene, cfg))
     got = _img_np(render_color_pallas_march(scene, cfg, interpret=True))

@@ -197,10 +197,14 @@ def _compare_march_bwd(glow):
     scene, _ = rt.default_scene()
     scene = scene._replace(camera=scene.camera._replace(
         position=scene.camera.position._replace(x=jnp.float32(0.37))))
+    # pallas_march_chunk stays small here: interpret-mode compile cost
+    # scales with the while BODY size (chunk unrolled SDF steps), and the
+    # TPU-tuned default of 32 quadruples it for zero test benefit
     cfg = rt.RenderConfig(xres=W, yres=H, use_raymarching=True,
                           glow_effect=glow, pallas_bwd=True,
                           raymarch_max_reflections=2, max_refractions=1,
-                          refraction_unroll=1, march_max_iter=512)
+                          refraction_unroll=1, march_max_iter=512,
+                          pallas_march_chunk=4)
 
     def jnp_fwd(s):
         vi, eye = camera_rays(s.camera.position, s.camera.rotation, cfg)

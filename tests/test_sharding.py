@@ -78,7 +78,8 @@ def test_pallas_march_under_mesh(scene):
 
     cfg = rt.RenderConfig(xres=32, yres=16, use_raymarching=True,
                           glow_effect=1.0, max_refractions=1,
-                          march_max_iter=1000, use_pallas=True)
+                          march_max_iter=1000, use_pallas=True,
+                          pallas_march_chunk=4)
     mesh = make_mesh(jax.devices(), dp=2, sp=4)
     ref = _np_img(render_color(scene, cfg.with_(use_pallas=False)))
     with mesh:
