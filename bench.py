@@ -393,6 +393,7 @@ def main():
 
     # ---- supplementary: 4K tiled forward (config "long context") ----
     k4_ms = None
+    k4_dev_ms = None
     if work_s() < BUDGETS["tiled_4k"]:
         try:
             from jax.sharding import Mesh
@@ -412,6 +413,16 @@ def main():
             k4_ms = (time.perf_counter() - t0) * 1e3
             log(f"4K tiled fwd (to host u8): {k4_ms:.1f} ms -> "
                 f"{3840*2160/(k4_ms/1e3)/1e6:.1f} Mrays/s primary")
+            # device-side 4K: the to-host number is dominated by hauling a
+            # 24 MB u8 frame through the tunnel; the kernel path streams
+            # tiles and never materializes per-pixel intermediates, so a
+            # monolithic 4K launch fits HBM — reduce on device to isolate
+            # render cost.
+            k4r = jax.jit(lambda s: scalar(render_color(s, k4cfg)))
+            kd_t = timed(k4r, scene, iters=3, what="4K-device")
+            k4_dev_ms = kd_t * 1e3
+            log(f"4K device-side fwd: {k4_dev_ms:.1f} ms -> "
+                f"{3840*2160/kd_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"4K bench failed: {e}")
 
@@ -491,6 +502,8 @@ def main():
         extra["textured_fwd_bwd_1080p_ms"] = round(tex_fb_ms, 1)
     if k4_ms is not None:
         extra["tiled_4k_fwd_ms"] = round(k4_ms, 1)
+    if k4_dev_ms is not None:
+        extra["device_4k_fwd_ms"] = round(k4_dev_ms, 1)
     if inv_steps_s is not None:
         extra["inverse_320x240_steps_per_s"] = round(inv_steps_s, 2)
     if sharded_ok is not None:
