@@ -333,10 +333,10 @@ def main():
             # use_pallas: the fused kernel's fori_loop object path covers
             # >64-object scenes (ops/pallas_trace.py:_KernelScene)
             scfg = rt.RenderConfig(xres=640, yres=480, use_pallas=True)
-            stress = jax.jit(lambda s: scalar(render_color(s, scfg)))
-            s_t = timed(stress, big_scene, iters=3, what="stress-101obj")
+            s_t = timed(chain_of(render_color, scfg), big_scene, iters=3,
+                        what="stress-101obj-chain") / CHAIN
             stress_ms = s_t * 1e3
-            log(f"101-object 640x480 fwd: {stress_ms:.1f} ms -> "
+            log(f"101-object 640x480 fwd (amortized): {stress_ms:.1f} ms -> "
                 f"{640*480/s_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"stress bench failed: {e}")

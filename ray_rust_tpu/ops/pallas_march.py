@@ -38,7 +38,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..config import RenderConfig
-from ..models.scene import Scene
+from ..models.scene import KIND_SPHERE, Scene
 from ..models.vec import Color, Vec3
 from .intersect import F32_EPSILON, INONLY, OUTONLY
 from .march import MarchResult
@@ -138,8 +138,11 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         return out
 
     chunk = max(1, cfg.pallas_march_chunk)
+    use_skip = cfg.march_floor_skip and ks.unrolled
 
     def body(s):
+        if use_skip:
+            s = _floor_tail(ks, cfg, eye, ig, s, record_glow)
         for _ in range(chunk):
             s = once(s)
         return s
@@ -155,6 +158,166 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         res = res._replace(glow_pos=Vec3(gx, gy, gz), glow_iter=gi)
         return res, go
     return res
+
+
+def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
+                record_glow: bool):
+    """Closed-form resolution of a floor-approach march tail (see
+    ``cfg.march_floor_skip``).
+
+    Applicability (per lane, conservatively): the current nearest object is a
+    floor, and every other object provably stays farther than the current
+    floor distance ``h`` over the remaining ray — spheres by their line
+    distance (perpendicular distance past closest approach, current distance
+    if behind), other floors by ``d0 > h`` with a non-decreasing slope. Then
+    every remaining step sees the floor as winner and the evaluated distances
+    form ``h_k = h * rho^k`` with ``rho = 1 + e.n``:
+
+    * rho < 1: hits at the first k with h_k < eps;
+    * rho > 1: escapes at the first k with h_k > far;
+    * either way the iteration cap (render.rs:1255) bounds k;
+    * travel is the geometric sum, the final position one step past the
+      stopping evaluation (mirroring the update-then-check loop order);
+    * the glow channel's sampled minimum over the tail is found in closed
+      form: per object the distance along the ray is unimodal in the travel
+      parameter, so the discrete argmin over the geometric sample points is
+      at the endpoints or the two samples bracketing the continuous argmin —
+      four candidate evaluations replace up to 10^4 steps. (Within
+      applicability every non-winner distance stays > h > 0, so the
+      ``glow > 0`` filter never clips a candidate interval.)
+    """
+    px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+    p = Vec3(px, py, pz)
+    shape = jnp.shape(px)
+    live = done == 0
+    eps = np.float32(cfg.march_eps)
+    far = np.float32(cfg.far_away)
+    cap = np.int32(cfg.march_max_iter)
+
+    # fresh winner sweep at the current position (one extra SDF evaluation
+    # per while trip — ~1/chunk overhead)
+    h, win, _, _ = ks.distance_estimate(p, ig)
+
+    win_is_floor = jnp.zeros(shape, bool)
+    n_win = Vec3(*(jnp.zeros(shape, jnp.float32) for _ in range(3)))
+    safe = jnp.ones(shape, bool)
+    for j, o in enumerate(ks.objs):
+        is_win = win == jnp.int32(j)
+        is_floor_j = o["kind"] != KIND_SPHERE
+        win_is_floor = win_is_floor | (is_win & is_floor_j)
+        n_win = Vec3(
+            jnp.where(is_win, o["normal"].x, n_win.x),
+            jnp.where(is_win, o["normal"].y, n_win.y),
+            jnp.where(is_win, o["normal"].z, n_win.z),
+        )
+        w = o["org"] - p
+        s_star = w.dot(eye)
+        wlen = jnp.sqrt(jnp.maximum(w.squared_len(), 1e-30))
+        perp = jnp.sqrt(jnp.maximum(w.squared_len() - s_star * s_star, 0.0))
+        sphere_line = jnp.where(s_star > 0.0, perp, wlen) - o["radius"]
+        d0 = -(w.dot(o["normal"]))  # (p - org).n
+        slope = eye.dot(o["normal"])
+        # logical ops, not where: Mosaic cannot legalize selects between
+        # i1 vectors
+        is_sph = o["kind"] == KIND_SPHERE
+        obj_safe = (is_sph & (sphere_line > h)) | (
+            ~is_sph & (d0 > h) & (slope >= 0.0)
+        )
+        skip_j = is_win | (jnp.int32(j) == ig)
+        safe = safe & (skip_j | obj_safe)
+
+    rho = 1.0 + eye.dot(n_win)
+    applicable = (live & win_is_floor & safe & (h > eps) & (h < far)
+                  & (rho > 1e-6))
+
+    # --- stop step k (0-based index of the stopping evaluation) ------------
+    rho_s = jnp.where(applicable, rho, 0.5)
+    h_s = jnp.where(applicable, h, 1.0)
+    log_rho = jnp.log(rho_s)
+    lr_ok = jnp.abs(log_rho) > 1e-7
+    lr_s = jnp.where(lr_ok, log_rho, 1.0)
+    k_hit = jnp.ceil((jnp.log(eps) - jnp.log(h_s)) / lr_s)
+    k_esc = jnp.ceil((jnp.log(far) - jnp.log(h_s)) / lr_s)
+    k_geo = jnp.where(rho_s < 1.0, k_hit, k_esc)
+    k_cap = (cap - it).astype(jnp.float32)
+    kf = jnp.where(lr_ok, jnp.minimum(k_geo, k_cap), k_cap)
+    kf = jnp.maximum(kf, 0.0)
+    k_i = kf.astype(jnp.int32)
+    kf = k_i.astype(jnp.float32)
+
+    geo_ok = jnp.abs(1.0 - rho_s) > 1e-6
+
+    def s_of(i_f):
+        """travel offset of sample i (= sum of the first i step lengths)."""
+        rho_i = jnp.exp(i_f * log_rho)
+        return h_s * jnp.where(geo_ok, (1.0 - rho_i) / (1.0 - rho_s), i_f)
+
+    rho_k = jnp.exp(kf * log_rho)
+    m_f = kf + 1.0
+    S = h_s * jnp.where(geo_ok, (1.0 - rho_k * rho_s) / (1.0 - rho_s), m_f)
+    fd2 = h_s * rho_k
+    p2 = p + eye * S
+    travel2 = travel + S
+    it2 = it + k_i + 1
+
+    # --- glow channel over the tail samples ---------------------------------
+    best_v = jnp.full(shape, _BIG, jnp.float32)
+    best_i = jnp.zeros(shape, jnp.float32)
+    best_j = jnp.zeros(shape, jnp.int32)
+    for j, o in enumerate(ks.objs):
+        gd = o["glow_dist"]
+        w = o["org"] - p
+        s_star = jnp.clip(w.dot(eye), 0.0, S)
+        # sample index whose travel offset is nearest the continuous argmin
+        arg = 1.0 - s_star * (1.0 - rho_s) / h_s
+        i_star = jnp.where(
+            geo_ok,
+            jnp.log(jnp.maximum(arg, 1e-30)) / lr_s,
+            s_star / h_s,
+        )
+        i1 = jnp.clip(jnp.floor(i_star), 0.0, kf)
+        for i_c in (jnp.zeros(shape, jnp.float32), i1,
+                    jnp.minimum(i1 + 1.0, kf), kf):
+            pos_c = p + eye * s_of(i_c)
+            delta = o["org"] - pos_c
+            sq = delta.squared_len()
+            ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+            d_sph = jnp.maximum(jnp.where(sq > 0, ln, 0.0) - o["radius"], 0.0)
+            d_flo = jnp.maximum((pos_c - o["org"]).dot(o["normal"]), 0.0)
+            d_c = jnp.where(o["kind"] == KIND_SPHERE, d_sph, d_flo)
+            g_c = d_c * gd
+            ok_c = (g_c > 0.0) & (jnp.int32(j) != ig)
+            upd = ok_c & (g_c < best_v)
+            best_v = jnp.where(upd, g_c, best_v)
+            best_i = jnp.where(upd, i_c, best_i)
+            best_j = jnp.where(upd, jnp.int32(j), best_j)
+
+    gupd = applicable & (best_v < mind)
+    mind2 = jnp.where(gupd, best_v, mind)
+
+    def pick(new, old):
+        return jnp.where(applicable, new, old)
+
+    out = (
+        pick(p2.x, px), pick(p2.y, py), pick(p2.z, pz),
+        pick(travel2, travel), pick(it2, it),
+        mind2,
+        pick(fd2, fd), pick(win, idx),
+        jnp.maximum(done, applicable.astype(jnp.int32)),
+    )
+    if record_glow:
+        gx, gy, gz, go, gi = s[9:]
+        pos_b = p + eye * s_of(best_i)
+        out = out + (
+            jnp.where(gupd, pos_b.x, gx),
+            jnp.where(gupd, pos_b.y, gy),
+            jnp.where(gupd, pos_b.z, gz),
+            jnp.where(gupd, best_j, go),
+            jnp.where(gupd, it + best_i.astype(jnp.int32), gi),
+        )
+    else:
+        out = out + s[9:]
+    return out
 
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields, n: Vec3,
