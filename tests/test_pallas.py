@@ -147,7 +147,7 @@ def test_fast_path_march_gradients_route_through_jnp():
     scene, _ = rt.default_scene()
     cfg = rt.RenderConfig(xres=16, yres=8, use_raymarching=True,
                           max_refractions=1, march_max_iter=256,
-                          march_budget=64)
+                          march_budget=64, pallas_march_chunk=4)
 
     def loss(light_y, render_fn, c):
         s = scene._replace(light=scene.light._replace(y=light_y))
