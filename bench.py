@@ -168,8 +168,6 @@ def main():
     except Exception as e:
         log(f"jnp-path bench failed: {e}")
 
-    pallas_mrays = round(fwd_mrays, 2) if cfg.pallas_enabled() else None
-
     # ---- forward+backward (scene-parameter gradients): the HEADLINE ----
     img0 = jax.jit(lambda s: render_color(s, cfg))(scene)
     target = jnp.stack([img0.r, img0.g, img0.b], -1) + 0.05
@@ -486,8 +484,8 @@ def main():
         extra["fwd_total_mrays"] = round(total_rays / fwd_amort / 1e6, 2)
     if fwd_jnp_ms is not None:
         extra["fwd_jnp_ms"] = round(fwd_jnp_ms, 3)
-    if pallas_mrays is not None:
-        extra["fwd_pallas_mrays"] = pallas_mrays
+    # (fwd_pallas_mrays dropped in r5: since the kernel became the default
+    # path it aliased fwd_amortized_mrays — ADVICE r4.)
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
     if march_budget_ms is not None:
