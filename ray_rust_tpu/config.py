@@ -106,15 +106,17 @@ class RenderConfig:
     pallas_march_chunk: int = 32
     # Closed-form floor-tail shortcut in the march kernel: once a lane's
     # nearest object is a floor and every other object provably stays
-    # farther than the floor for the rest of the ray (conservative
-    # line-distance check), the remaining sphere-tracing tail is a geometric
-    # sequence h_k = h*rho^k (rho = 1 + e.n) whose stop step, travel sum,
-    # final state and sampled glow minimum (unimodal distance -> argmin
-    # neighbors + endpoints) all have closed forms — the lane finishes in
-    # O(1) instead of up to MAX_ITER=10000 steps (the horizon tail is ~half
-    # of march wall time, measured r4). Values match the step-by-step loop
-    # up to f32 rounding (the closed form is better conditioned than 10^3-
-    # step accumulation). Kernel-only; the jnp path stays the exact oracle.
+    # farther than the floor over the WHOLE remaining tail (exact convex
+    # bound per object over the tail's travel range — see
+    # ops/pallas_march.py:_floor_tail), the remaining sphere-tracing tail is
+    # a geometric sequence h_k = h*rho^k (rho = 1 + e.n) whose stop step,
+    # travel sum, final state and sampled glow minimum (unimodal distance ->
+    # argmin neighbors + endpoints) all have closed forms — the lane
+    # finishes in O(1) instead of up to MAX_ITER=10000 steps (the horizon
+    # tail is ~half of march wall time, measured r4). Values match the
+    # step-by-step loop up to f32 rounding (the closed form is better
+    # conditioned than 10^3-step accumulation). Kernel-only; the jnp path
+    # stays the exact oracle.
     march_floor_skip: bool = True
     # In-kernel image textures for the fused trace kernel: the
     # neighborhood-packed atlas rides in VMEM as 128-texel chunks and each

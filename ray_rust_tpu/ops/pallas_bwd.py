@@ -778,9 +778,11 @@ def _p1_march(ks: _KernelScene, cfg: RenderConfig, nodes, glow_map,
         ddt = _winner_ddt(raw, pt, eye)
 
         # shadow via sphere tracing; march-mode lit checks the SHADED
-        # object's transparency (reference quirk, render.rs:1053-1080)
+        # object's transparency (reference quirk, render.rs:1053-1080).
+        # Decision-only: the glow-min channel is dead on shadow marches.
         sres = _march_single(ks, cfg, pt + light * F32_EPSILON,
-                             light.broadcast_to(pt.shape), res.idx, shaded)
+                             light.broadcast_to(pt.shape), res.idx, shaded,
+                             need_glow=False)
         lit = ((sres.travel_dist >= cfg.far_away)
                | (sres.iter >= cfg.march_max_iter)
                | (raw["transparency"] > 0.0))

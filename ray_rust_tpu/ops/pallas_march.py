@@ -74,7 +74,8 @@ def pallas_march_supported(scene: Scene, cfg: RenderConfig) -> bool:
 
 def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
                   eye: Vec3, ig, active,
-                  record_glow: bool = False) -> MarchResult:
+                  record_glow: bool = False,
+                  need_glow: bool = True) -> MarchResult:
     """Kernel-side sphere tracing (render.rs:1266-1297); mirrors
     ops/march.py:march_single's while mode. The whole tile's march state is a
     while_loop carry in VMEM; the loop exits when every live lane converges,
@@ -83,8 +84,18 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
     ``record_glow`` additionally tracks the glow argmin's sample position,
     object index and step index (ops/march.py's glow_pos/glow_iter contract)
     — carried state for the site-recording backward (ops/pallas_bwd.py);
-    the pure forward kernel leaves it off."""
+    the pure forward kernel leaves it off.
+
+    ``need_glow=False`` drops the glow-metric min channel entirely: shadow
+    marches only consume the hit/escape decision (travel/iter,
+    render.rs:1053-1067) and glow-off renders never read ``min_dist``, so
+    the per-object glow multiply+compare every step and the tail shortcut's
+    closed-form glow argmin are dead work on those paths. The returned
+    ``min_dist`` is +inf. Exact: the reference computes and discards the
+    same values (render.rs:1244-1247)."""
     shape = jnp.shape(init_pos.x)
+    if record_glow:
+        need_glow = True
     # The done mask is carried as int32 (1 = done): Mosaic fails to legalize
     # while_loops with vector-of-i1 carries ('scf.yield' legalization error).
     state = (
@@ -96,17 +107,29 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         jnp.zeros(shape, jnp.int32),             # idx
         (~active).astype(jnp.int32),             # done (0/1)
     )
+    if not need_glow:
+        # drop the min-glow carry (slot 5) — restored as +inf on exit
+        state = state[:5] + state[6:]
+
+    def unpack(s):
+        if need_glow:
+            return s[:9]
+        px, py, pz, travel, it, fd, idx, done = s[:8]
+        return px, py, pz, travel, it, None, fd, idx, done
+
     if record_glow:
         state = state + (
             init_pos.x, init_pos.y, init_pos.z,   # glow argmin pos
             jnp.zeros(shape, jnp.int32),          # glow argmin object
             jnp.full(shape, -1, jnp.int32),       # glow argmin step (pre-inc)
         )
+    n_core = 9 if need_glow else 8
 
     def once(s):
-        px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+        px, py, pz, travel, it, mind, fd, idx, done = unpack(s)
         dist, i, glow, gobj = ks.distance_estimate(
-            Vec3(px, py, pz), ig, with_glow_idx=record_glow)
+            Vec3(px, py, pz), ig, with_glow_idx=record_glow,
+            with_glow=need_glow)
         live = done == 0
         new_it = it + 1
         stop = (
@@ -114,14 +137,17 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
             | (dist > cfg.far_away)
             | (new_it > cfg.march_max_iter)
         )
-        gupd = live & (glow < mind)
         out = (
             jnp.where(live, px + eye.x * dist, px),
             jnp.where(live, py + eye.y * dist, py),
             jnp.where(live, pz + eye.z * dist, pz),
             jnp.where(live, travel + dist, travel),
             jnp.where(live, new_it, it),
-            jnp.where(gupd, glow, mind),
+        )
+        if need_glow:
+            gupd = live & (glow < mind)
+            out = out + (jnp.where(gupd, glow, mind),)
+        out = out + (
             jnp.where(live, dist, fd),
             jnp.where(live, i, idx),
             jnp.maximum(done, (live & stop).astype(jnp.int32)),
@@ -142,13 +168,15 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
 
     def body(s):
         if use_skip:
-            s = _floor_tail(ks, cfg, eye, ig, s, record_glow)
+            s = _floor_tail(ks, cfg, eye, ig, s, record_glow, need_glow)
         for _ in range(chunk):
             s = once(s)
         return s
 
-    state = lax.while_loop(lambda s: jnp.min(s[8]) == 0, body, state)
-    px, py, pz, travel, it, mind, fd, idx = state[:8]
+    state = lax.while_loop(lambda s: jnp.min(s[n_core - 1]) == 0, body, state)
+    px, py, pz, travel, it, mind, fd, idx, _done = unpack(state)
+    if mind is None:
+        mind = jnp.full(shape, _BIG, jnp.float32)
     res = MarchResult(
         final_dist=fd, idx=idx, pos=Vec3(px, py, pz), iter=it,
         travel_dist=travel, min_dist=mind,
@@ -161,16 +189,15 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
 
 
 def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
-                record_glow: bool):
+                record_glow: bool, need_glow: bool = True):
     """Closed-form resolution of a floor-approach march tail (see
     ``cfg.march_floor_skip``).
 
-    Applicability (per lane, conservatively): the current nearest object is a
-    floor, and every other object provably stays farther than the current
-    floor distance ``h`` over the remaining ray — spheres by their line
-    distance (perpendicular distance past closest approach, current distance
-    if behind), other floors by ``d0 > h`` with a non-decreasing slope. Then
-    every remaining step sees the floor as winner and the evaluated distances
+    Applicability (per lane): the current nearest object is a floor, and
+    every other object provably stays strictly farther than the floor's
+    distance over the WHOLE remaining tail range ``[0, S]`` (S = the tail's
+    total travel, known in closed form before the check). Then every
+    remaining evaluation sees the floor as winner and the evaluated distances
     form ``h_k = h * rho^k`` with ``rho = 1 + e.n``:
 
     * rho < 1: hits at the first k with h_k < eps;
@@ -183,10 +210,28 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
       parameter, so the discrete argmin over the geometric sample points is
       at the endpoints or the two samples bracketing the continuous argmin —
       four candidate evaluations replace up to 10^4 steps. (Within
-      applicability every non-winner distance stays > h > 0, so the
-      ``glow > 0`` filter never clips a candidate interval.)
+      applicability every non-winner distance stays above the winner floor's
+      distance > 0 over the whole tail, so the ``glow > 0`` filter never
+      clips a candidate interval.)
+
+    The per-object safety bound is exact (up to f32), not heuristic: with
+    ``a = rho - 1`` the floor's distance along the tail is the affine
+    ``h + a*s``, a sphere's unclamped SDF along the ray is the convex
+    ``sqrt(perp^2 + (s - s*)^2) - r``, so their difference ``g(s)`` is convex
+    and its minimum over ``[0, S]`` is at an endpoint or the single interior
+    critical point ``s_c = s* + a*perp/sqrt(1-a^2)`` where
+    ``g(s_c) = perp*sqrt(1-a^2) - r - h - a*s*``. Another floor's SDF is
+    affine, so endpoint checks suffice. This covers BOTH branches soundly —
+    the round-4 check compared other objects against the *initial* ``h``
+    only, which under-constrained the escape branch (rho > 1: the floor
+    distance grows, so a sphere beyond ``h`` could still become the SDF
+    winner mid-tail and move the glow argmin — ADVICE r4, high).
     """
-    px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+    if need_glow:
+        px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+    else:
+        px, py, pz, travel, it, fd, idx, done = s[:8]
+        mind = None
     p = Vec3(px, py, pz)
     shape = jnp.shape(px)
     live = done == 0
@@ -196,11 +241,11 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
 
     # fresh winner sweep at the current position (one extra SDF evaluation
     # per while trip — ~1/chunk overhead)
-    h, win, _, _ = ks.distance_estimate(p, ig)
+    h, win, _, _ = ks.distance_estimate(p, ig, with_glow=False)
 
+    # pass 1 over objects: winner kind + normal
     win_is_floor = jnp.zeros(shape, bool)
     n_win = Vec3(*(jnp.zeros(shape, jnp.float32) for _ in range(3)))
-    safe = jnp.ones(shape, bool)
     for j, o in enumerate(ks.objs):
         is_win = win == jnp.int32(j)
         is_floor_j = o["kind"] != KIND_SPHERE
@@ -210,29 +255,13 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
             jnp.where(is_win, o["normal"].y, n_win.y),
             jnp.where(is_win, o["normal"].z, n_win.z),
         )
-        w = o["org"] - p
-        s_star = w.dot(eye)
-        wlen = jnp.sqrt(jnp.maximum(w.squared_len(), 1e-30))
-        perp = jnp.sqrt(jnp.maximum(w.squared_len() - s_star * s_star, 0.0))
-        sphere_line = jnp.where(s_star > 0.0, perp, wlen) - o["radius"]
-        d0 = -(w.dot(o["normal"]))  # (p - org).n
-        slope = eye.dot(o["normal"])
-        # logical ops, not where: Mosaic cannot legalize selects between
-        # i1 vectors
-        is_sph = o["kind"] == KIND_SPHERE
-        obj_safe = (is_sph & (sphere_line > h)) | (
-            ~is_sph & (d0 > h) & (slope >= 0.0)
-        )
-        skip_j = is_win | (jnp.int32(j) == ig)
-        safe = safe & (skip_j | obj_safe)
 
     rho = 1.0 + eye.dot(n_win)
-    applicable = (live & win_is_floor & safe & (h > eps) & (h < far)
-                  & (rho > 1e-6))
+    pre = (live & win_is_floor & (h > eps) & (h < far) & (rho > 1e-6))
 
     # --- stop step k (0-based index of the stopping evaluation) ------------
-    rho_s = jnp.where(applicable, rho, 0.5)
-    h_s = jnp.where(applicable, h, 1.0)
+    rho_s = jnp.where(pre, rho, 0.5)
+    h_s = jnp.where(pre, h, 1.0)
     log_rho = jnp.log(rho_s)
     lr_ok = jnp.abs(log_rho) > 1e-7
     lr_s = jnp.where(lr_ok, log_rho, 1.0)
@@ -260,40 +289,42 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
     travel2 = travel + S
     it2 = it + k_i + 1
 
-    # --- glow channel over the tail samples ---------------------------------
-    best_v = jnp.full(shape, _BIG, jnp.float32)
-    best_i = jnp.zeros(shape, jnp.float32)
-    best_j = jnp.zeros(shape, jnp.int32)
+    # pass 2 over objects: exact whole-tail safety check over [0, S] (see
+    # docstring — convex g(s) for spheres: interior critical point +
+    # endpoints; affine for floors: endpoints). |a| >= 1 has no interior
+    # critical point (g' is one-signed), so endpoints are exact there.
+    a = rho_s - 1.0
+    safe = jnp.ones(shape, bool)
     for j, o in enumerate(ks.objs):
-        gd = o["glow_dist"]
+        is_sph = o["kind"] == KIND_SPHERE
         w = o["org"] - p
-        s_star = jnp.clip(w.dot(eye), 0.0, S)
-        # sample index whose travel offset is nearest the continuous argmin
-        arg = 1.0 - s_star * (1.0 - rho_s) / h_s
-        i_star = jnp.where(
-            geo_ok,
-            jnp.log(jnp.maximum(arg, 1e-30)) / lr_s,
-            s_star / h_s,
-        )
-        i1 = jnp.clip(jnp.floor(i_star), 0.0, kf)
-        for i_c in (jnp.zeros(shape, jnp.float32), i1,
-                    jnp.minimum(i1 + 1.0, kf), kf):
-            pos_c = p + eye * s_of(i_c)
-            delta = o["org"] - pos_c
-            sq = delta.squared_len()
-            ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
-            d_sph = jnp.maximum(jnp.where(sq > 0, ln, 0.0) - o["radius"], 0.0)
-            d_flo = jnp.maximum((pos_c - o["org"]).dot(o["normal"]), 0.0)
-            d_c = jnp.where(o["kind"] == KIND_SPHERE, d_sph, d_flo)
-            g_c = d_c * gd
-            ok_c = (g_c > 0.0) & (jnp.int32(j) != ig)
-            upd = ok_c & (g_c < best_v)
-            best_v = jnp.where(upd, g_c, best_v)
-            best_i = jnp.where(upd, i_c, best_i)
-            best_j = jnp.where(upd, jnp.int32(j), best_j)
+        s_star = w.dot(eye)
+        wlen2 = w.squared_len()
+        wlen = jnp.sqrt(jnp.maximum(wlen2, 1e-30))
+        perp2 = jnp.maximum(wlen2 - s_star * s_star, 0.0)
+        perp = jnp.sqrt(perp2)
+        r = o["radius"]
+        g0 = wlen - r - h
+        dS2 = perp2 + (S - s_star) * (S - s_star)
+        gS = jnp.sqrt(jnp.maximum(dS2, 0.0)) - r - h - a * S
+        a_ok = jnp.abs(a) < 1.0 - 1e-6
+        a_c = jnp.where(a_ok, a, 0.0)
+        root = jnp.sqrt(jnp.maximum(1.0 - a_c * a_c, 1e-12))
+        s_c = s_star + a_c * perp / root
+        g_crit = perp * root - r - h - a_c * s_star
+        interior = a_ok & (s_c > 0.0) & (s_c < S)
+        g_min = jnp.minimum(jnp.minimum(g0, gS),
+                            jnp.where(interior, g_crit, _BIG))
+        d0 = -(w.dot(o["normal"]))  # (p - org).n
+        slope = eye.dot(o["normal"])
+        floor_safe = (d0 > h) & (d0 + slope * S > h + a * S)
+        # logical ops, not where: Mosaic cannot legalize selects between
+        # i1 vectors
+        obj_safe = (is_sph & (g_min > 0.0)) | (~is_sph & floor_safe)
+        skip_j = (win == jnp.int32(j)) | (jnp.int32(j) == ig)
+        safe = safe & (skip_j | obj_safe)
 
-    gupd = applicable & (best_v < mind)
-    mind2 = jnp.where(gupd, best_v, mind)
+    applicable = pre & safe
 
     def pick(new, old):
         return jnp.where(applicable, new, old)
@@ -301,7 +332,47 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
     out = (
         pick(p2.x, px), pick(p2.y, py), pick(p2.z, pz),
         pick(travel2, travel), pick(it2, it),
-        mind2,
+    )
+
+    if need_glow:
+        # --- glow channel over the tail samples -----------------------------
+        best_v = jnp.full(shape, _BIG, jnp.float32)
+        best_i = jnp.zeros(shape, jnp.float32)
+        best_j = jnp.zeros(shape, jnp.int32)
+        for j, o in enumerate(ks.objs):
+            gd = o["glow_dist"]
+            w = o["org"] - p
+            s_star = jnp.clip(w.dot(eye), 0.0, S)
+            # sample index whose travel offset is nearest the continuous
+            # argmin
+            arg = 1.0 - s_star * (1.0 - rho_s) / h_s
+            i_star = jnp.where(
+                geo_ok,
+                jnp.log(jnp.maximum(arg, 1e-30)) / lr_s,
+                s_star / h_s,
+            )
+            i1 = jnp.clip(jnp.floor(i_star), 0.0, kf)
+            for i_c in (jnp.zeros(shape, jnp.float32), i1,
+                        jnp.minimum(i1 + 1.0, kf), kf):
+                pos_c = p + eye * s_of(i_c)
+                delta = o["org"] - pos_c
+                sq = delta.squared_len()
+                ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+                d_sph = jnp.maximum(
+                    jnp.where(sq > 0, ln, 0.0) - o["radius"], 0.0)
+                d_flo = jnp.maximum((pos_c - o["org"]).dot(o["normal"]), 0.0)
+                d_c = jnp.where(o["kind"] == KIND_SPHERE, d_sph, d_flo)
+                g_c = d_c * gd
+                ok_c = (g_c > 0.0) & (jnp.int32(j) != ig)
+                upd = ok_c & (g_c < best_v)
+                best_v = jnp.where(upd, g_c, best_v)
+                best_i = jnp.where(upd, i_c, best_i)
+                best_j = jnp.where(upd, jnp.int32(j), best_j)
+
+        gupd = applicable & (best_v < mind)
+        out = out + (jnp.where(gupd, best_v, mind),)
+
+    out = out + (
         pick(fd2, fd), pick(win, idx),
         jnp.maximum(done, applicable.astype(jnp.int32)),
     )
@@ -316,7 +387,7 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
             jnp.where(gupd, it + best_i.astype(jnp.int32), gi),
         )
     else:
-        out = out + s[9:]
+        out = out + tuple(s[(9 if need_glow else 8):])
     return out
 
 
@@ -340,8 +411,11 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields, n: Vec3,
     )
 
     transparency_self = fields.transparency
+    # shadow march: only the hit/escape decision is consumed — skip the
+    # glow-min channel (render.rs:1053-1067 discards it too)
     res = _march_single(
-        ks, cfg, shadow_org, light.broadcast_to(pt.shape), idx, active
+        ks, cfg, shadow_org, light.broadcast_to(pt.shape), idx, active,
+        need_glow=False,
     )
     lit = (
         (res.travel_dist >= cfg.far_away)
@@ -398,10 +472,14 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     need_march = active
     res = None
     n_iters = max(1, cfg.raymarch_max_reflections - lev)
+    # min_dist is consumed only by the glow post-multiply — glow-off renders
+    # skip the glow-min channel in every march
+    glow_on = cfg.glow_effect is not None
     for step in range(n_iters):
         lev_i = lev + 1 + step
 
-        new_res = _march_single(ks, cfg, pos, eye, ig, need_march)
+        new_res = _march_single(ks, cfg, pos, eye, ig, need_march,
+                                need_glow=glow_on)
         if res is None:
             res = new_res
         else:

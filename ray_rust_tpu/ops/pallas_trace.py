@@ -375,17 +375,23 @@ class _KernelScene:
         return sphere_n.where(fields.kind == KIND_SPHERE, fields.normal)
 
     # -- scene SDF + glow metric (render.rs:1226-1251) -----------------------
-    def distance_estimate(self, pos: Vec3, ig, with_glow_idx: bool = False):
+    def distance_estimate(self, pos: Vec3, ig, with_glow_idx: bool = False,
+                          with_glow: bool = True):
         """Mirrors ops/march.py:distance_estimate over the SMEM object table.
 
         Returns ``(closest, idx, glowing, glow_idx)``; ``glow_idx`` (the
         glow-metric argmin's object) is tracked only when ``with_glow_idx``
-        (the site-recording backward needs it), else None."""
+        (the site-recording backward needs it), else None. ``with_glow=False``
+        skips the glow-metric min entirely (returns None for both) — shadow
+        marches and glow-off renders never consume it, and the per-object
+        multiply+compare is live inner-loop cost (render.rs:1244-1247 runs it
+        unconditionally; its result is simply unused on those paths)."""
         closest = jnp.full(pos.shape, _BIG, jnp.float32)
         idx = jnp.zeros(pos.shape, jnp.int32)
-        glowing = jnp.full(pos.shape, _BIG, jnp.float32)
-        glow_idx = (jnp.zeros(pos.shape, jnp.int32) if with_glow_idx
-                    else None)
+        glowing = (jnp.full(pos.shape, _BIG, jnp.float32) if with_glow
+                   else None)
+        glow_idx = (jnp.zeros(pos.shape, jnp.int32)
+                    if (with_glow and with_glow_idx) else None)
 
         def one(i, o, closest, idx, glowing, glow_idx):
             delta = o["org"] - pos
@@ -400,11 +406,12 @@ class _KernelScene:
             closer = ~skip & (dist < closest)
             closest = jnp.where(closer, dist, closest)
             idx = jnp.where(closer, i, idx)
-            glow = dist * o["glow_dist"]
-            gupd = ~skip & (glow > 0.0) & (glow < glowing)
-            glowing = jnp.where(gupd, glow, glowing)
-            if glow_idx is not None:
-                glow_idx = jnp.where(gupd, i, glow_idx)
+            if glowing is not None:
+                glow = dist * o["glow_dist"]
+                gupd = ~skip & (glow > 0.0) & (glow < glowing)
+                glowing = jnp.where(gupd, glow, glowing)
+                if glow_idx is not None:
+                    glow_idx = jnp.where(gupd, i, glow_idx)
             return closest, idx, glowing, glow_idx
 
         if self.unrolled:
@@ -412,6 +419,13 @@ class _KernelScene:
                 closest, idx, glowing, glow_idx = one(
                     jnp.int32(i), o, closest, idx, glowing, glow_idx)
             return closest, idx, glowing, glow_idx
+
+        if not with_glow:
+            def body_ng(i, carry):
+                return one(i, self._obj_at(i), *carry, None, None)[:2]
+
+            out = lax.fori_loop(0, self.n, body_ng, (closest, idx))
+            return out + (None, None)
 
         if with_glow_idx:
             def body_g(i, carry):

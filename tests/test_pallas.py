@@ -135,6 +135,136 @@ def test_pallas_march_matches_jnp():
     _compare(ref, got, frac_budget=0.05, mean_tol=0.03)
 
 
+# ---------------------------------------------------------------------------
+# March floor-tail shortcut (cfg.march_floor_skip, ops/pallas_march.py:
+# _floor_tail). The shortcut changes the kernel's arithmetic on every
+# floor-approach lane; these tests pin it directly: A/B same-config runs with
+# the flag toggled must be bit-equal-or-knife-edge-only, across every branch
+# of the closed form (rho<1 hit, rho>1 escape, iteration-cap stop, glow
+# argmin interior/endpoint, applicability rejection).
+# ---------------------------------------------------------------------------
+
+
+def _march_skip_pair(scene, cfg):
+    from ray_rust_tpu.ops.pallas_march import render_color_pallas_march
+
+    on = _img_np(render_color_pallas_march(
+        scene, cfg.with_(march_floor_skip=True), interpret=True))
+    off = _img_np(render_color_pallas_march(
+        scene, cfg.with_(march_floor_skip=False), interpret=True))
+    return on, off
+
+
+def _assert_knife_edge_only(on, off, frac_budget=0.005, tol=1e-3,
+                            contrast=0.05):
+    """Assert the two images are equal except for a sub-``frac_budget``
+    sliver of pixels that all sit on a decision boundary (high local
+    contrast in the exact step-by-step image's 3x3 neighborhood)."""
+    diff = np.abs(on - off).max(-1)
+    bad = diff > tol
+    frac = bad.mean()
+    assert frac <= frac_budget, (
+        f"{frac:.2%} pixels differ > {tol} (budget {frac_budget:.1%}); "
+        f"max {diff.max():.4f}"
+    )
+    if bad.any():
+        lum = off.mean(-1)
+        pad = np.pad(lum, 1, mode="edge")
+        h, w = lum.shape
+        win = np.stack([pad[r:r + h, c:c + w]
+                        for r in range(3) for c in range(3)])
+        local = win.max(0) - win.min(0)
+        assert (local[bad] > contrast).all(), (
+            f"{(local[bad] <= contrast).sum()} differing pixels are NOT on a "
+            f"decision boundary (max diff there "
+            f"{diff[bad][local[bad] <= contrast].max():.4f})"
+        )
+
+
+def test_march_floor_skip_branch_matrix():
+    """One scene exercising every _floor_tail branch: a glowing floor seen
+    from 5 units above (lower rays: rho<1 hit; near-horizon rays: iteration
+    cap; upper rays: rho>1 escape), a glowing sphere off to the side (glow
+    argmin at an interior tail sample) and a dull sphere inside the escape
+    corridor (whole-tail safety check must reject the shortcut there)."""
+    mats = [
+        rt.MaterialSpec(name="glowfloor", diffuse=(0.8, 0.8, 0.2),
+                        glow_dist=3.0),
+        rt.MaterialSpec(name="glowball", diffuse=(0.8, 0.2, 0.2),
+                        glow_dist=4.0),
+        rt.MaterialSpec(name="dull", diffuse=(0.3, 0.3, 0.6)),
+    ]
+    objs = [
+        rt.FloorSpec("glowfloor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0)),
+        rt.SphereSpec("glowball", 80.0, (400.0, -100.0, 600.0)),
+        rt.SphereSpec("dull", 60.0, (0.0, -180.0, 1500.0)),
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -295.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cfg = rt.RenderConfig(xres=64, yres=48, use_raymarching=True,
+                          glow_effect=1.5, max_refractions=1,
+                          march_max_iter=600, pallas_march_chunk=8)
+    on, off = _march_skip_pair(scene, cfg)
+    _assert_knife_edge_only(on, off)
+    # sanity vs the jnp oracle path (unchanged budgets)
+    ref = _img_np(render(scene, cfg))
+    _compare(ref, on, frac_budget=0.05, mean_tol=0.03)
+
+
+def test_march_floor_skip_escape_glow_regression():
+    """ADVICE r4 (high): the round-4 escape-branch guard compared other
+    objects against the INITIAL floor distance h only, so a glowing sphere
+    beyond h could still become the SDF winner mid-tail (the floor distance
+    grows as h*rho^k) and the closed form recorded a too-coarse glow argmin
+    — up to 0.057 image error with glow on. This scene reproduces exactly
+    that geometry: rays escape 5 units above the floor (rho slightly > 1)
+    and pass near a glowing sphere far down the corridor; the fixed
+    whole-tail safety check must reject the shortcut on those lanes."""
+    mats = [
+        rt.MaterialSpec(name="floor", diffuse=(0.9, 0.9, 0.3)),
+        rt.MaterialSpec(name="glow", diffuse=(0.9, 0.1, 0.1),
+                        glow_dist=1.0),
+    ]
+    objs = [
+        rt.FloorSpec("floor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0)),
+        rt.SphereSpec("glow", 100.0, (0.0, -150.0, 2000.0)),
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -295.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cfg = rt.RenderConfig(xres=64, yres=48, use_raymarching=True,
+                          glow_effect=2.0, max_refractions=1,
+                          march_max_iter=2000, pallas_march_chunk=8)
+    on, off = _march_skip_pair(scene, cfg)
+    _assert_knife_edge_only(on, off)
+
+
+def test_march_floor_skip_ab_default_scene():
+    """A/B flag toggle on the reference default scene (glow on): the
+    shortcut's output must be bit-equal-or-knife-edge-only at a resolution
+    where the horizon band is well resolved."""
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=64, yres=48, use_raymarching=True,
+                          glow_effect=1.0, max_refractions=1,
+                          march_max_iter=2000, pallas_march_chunk=8)
+    on, off = _march_skip_pair(scene, cfg)
+    _assert_knife_edge_only(on, off)
+
+
+@pytest.mark.slow
+def test_march_floor_skip_ab_default_scene_160x120():
+    """Same A/B at 160x120 (VERDICT r4 #4's asked-for resolution)."""
+    scene, _ = rt.default_scene()
+    cfg = rt.RenderConfig(xres=160, yres=120, use_raymarching=True,
+                          glow_effect=1.0, max_refractions=1,
+                          march_max_iter=2000)
+    on, off = _march_skip_pair(scene, cfg)
+    _assert_knife_edge_only(on, off)
+
+
 def test_fast_path_march_gradients_route_through_jnp():
     """render_color_fast in march mode: Pallas march forward, backward through
     the jnp while-march with the implicit VJP (ops/march.py)."""
