@@ -5,12 +5,13 @@ differentiable — SURVEY.md §7 stage 5/8): render a target image, perturb the
 scene, and optimize the perturbed scene's continuous parameters (sphere
 positions, material colors, light) until the render matches the target.
 
-Demonstrates the full TPU training loop: jitted fwd+bwd (Pallas kernels on
-TPU via ``--pallas``), optax optimizer over the scene pytree, and
-checkpoint/resume (ray_rust_tpu/checkpoint.py).
+Demonstrates the full TPU training loop: jitted fwd+bwd (fused Pallas
+kernels auto-on when running on TPU — forward and the site-reparameterized
+backward), optax optimizer over the scene pytree, and checkpoint/resume
+(ray_rust_tpu/checkpoint.py).
 
-Run (small/CPU):    python examples/inverse_rendering.py --steps 60 --size 64
-Run (TPU, Pallas):  python examples/inverse_rendering.py --pallas --size 320
+Run (small/CPU):  python examples/inverse_rendering.py --steps 60 --size 64
+Run (TPU):        python examples/inverse_rendering.py --size 320
 """
 
 from __future__ import annotations
@@ -59,8 +60,10 @@ def main(argv=None) -> int:
     p.add_argument("--steps", type=int, default=200)
     p.add_argument("--size", type=int, default=160, help="image width (height = 3/4)")
     p.add_argument("--lr", type=float, default=0.5)
-    p.add_argument("--pallas", action="store_true",
-                   help="use the fused Pallas kernels (TPU)")
+    p.add_argument("--pallas", default=None,
+                   action=argparse.BooleanOptionalAction,
+                   help="force the fused Pallas kernels on/off (default: "
+                        "auto — kernels for forward AND backward on TPU)")
     p.add_argument("--ckpt_dir", default=None, help="checkpoint/resume directory")
     p.add_argument("--ckpt_every", type=int, default=50)
     p.add_argument("--out", default=None, help="write before/after/target PNGs here")

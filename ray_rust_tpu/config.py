@@ -132,26 +132,23 @@ class RenderConfig:
     # is fully masked out anyway. The TPU-native analogue of warp-coherent
     # early exit. Forward-only (reverse-mode AD cannot cross the while).
     pallas_early_exit: bool = True
-    # Backward pass as a second fused Pallas kernel (ops/pallas_trace.py:
-    # the tile-level trace function is differentiated at trace time with
-    # jax.vjp, so the whole backward — re-trace + reverse sweep + per-tile
-    # scene-gradient reduction — runs in VMEM; per-tile partials are summed
-    # on the way out). False routes gradients through the jnp path.
-    pallas_bwd: bool = False
+    # Backward pass as a second fused Pallas kernel: the site-reparameterized
+    # backward (ops/pallas_bwd.py) records each raycast site's winner in a
+    # primal pass and differentiates a replay whose hit-t is recomputed from
+    # the winner's own fields — covers everything the forward kernels cover
+    # (textures, fori_loop object counts, march mode via the Newton/IFT
+    # replay). ``None`` = auto, same rule as ``use_pallas``: fused backward
+    # on TPU, jnp VJP elsewhere (the reference binary's default path IS its
+    # fastest path, src/main.rs:338 — the zero-flag jax.grad(render_color)
+    # hits the measured fwd+bwd kernel path on chip). False forces the jnp
+    # VJP everywhere.
+    pallas_bwd: Optional[bool] = None
     # Tile-level pruning for the backward kernel: a cheap in-kernel forward
     # probe classifies each tile (all-terminal / reflective / refractive) and
     # dispatches one of three pre-differentiated program variants — the
     # backward's answer to the forward's tile-level early exit, which
     # reverse-mode AD cannot cross (see ops/pallas_trace.py:_make_bwd_kernel).
     pallas_bwd_prune: bool = True
-    # Site-reparameterized backward kernel (ops/pallas_bwd.py): records the
-    # per-site raycast winners in a primal pass, then differentiates a replay
-    # whose nearest-hit t is recomputed from the winner's own fields — the
-    # differentiated program contains no O(N) raycast loops, and the kernel
-    # covers textures and fori_loop-regime object counts (everything the
-    # forward kernel covers). False falls back to the round-3 re-trace
-    # backward (<=64 objects, texture-free).
-    pallas_bwd_site: bool = True
     # Column-tile width for the backward kernel's 2D grid. The reverse sweep
     # holds every forward intermediate of a tile live simultaneously, so the
     # tile must be bounded in both dimensions: a full 1920-wide row tile
@@ -179,6 +176,14 @@ class RenderConfig:
         """Resolve the ``use_pallas`` tri-state (None = on-TPU auto)."""
         if self.use_pallas is not None:
             return self.use_pallas
+        import jax
+
+        return jax.default_backend() == "tpu"
+
+    def pallas_bwd_enabled(self) -> bool:
+        """Resolve the ``pallas_bwd`` tri-state (None = on-TPU auto)."""
+        if self.pallas_bwd is not None:
+            return self.pallas_bwd
         import jax
 
         return jax.default_backend() == "tpu"

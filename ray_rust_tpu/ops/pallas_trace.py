@@ -1187,9 +1187,20 @@ def _make_bwd_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 def render_color_pallas_grads(scene: Scene, cfg: RenderConfig, g: Color,
                               interpret: bool | None = None,
                               return_primal: bool = False):
-    """Scene cotangent for the Pallas trace forward, computed by the fused
-    backward kernel: per-tile partials summed over the grid, then pulled back
-    through the (differentiable) scene pack.
+    """Scene cotangent via the round-3 re-trace backward kernel: per-tile
+    partials summed over the grid, then pulled back through the
+    (differentiable) scene pack.
+
+    STATUS (r5): demoted to SECOND-OPINION ORACLE. The production gradient
+    path is the site-reparameterized kernel (ops/pallas_bwd.py) — it covers
+    strictly more (textures, fori_loop object counts) and measures faster
+    (12.50 vs 14.39 ms chained fwd+bwd at 1080p, BENCH_NOTES r4). This
+    kernel is kept because it derives the same cotangents by a completely
+    independent mechanism (jax.vjp over a full re-trace, O(N) raycast loops
+    and all, vs recorded-winner replay), which makes it a strong
+    cross-check: tests/test_pallas_bwd.py::test_site_bwd_matches_retrace_
+    oracle compares the two kernel-for-kernel. Not reachable from any
+    config flag.
 
     ``return_primal=True`` additionally returns the backward's own re-traced
     image (the forward whose exact derivative the cotangent is — see
@@ -1307,18 +1318,14 @@ def _fast_fn(cfg: RenderConfig):
         return render_color_pallas(scene, cfg), scene
 
     def bwd(scene, g):
-        if cfg.pallas_bwd and cfg.pallas_bwd_site:
+        if cfg.pallas_bwd_enabled():
             # Site-reparameterized backward: covers everything the forward
-            # kernel covers (textures, fori_loop object counts).
+            # kernel covers (textures, fori_loop object counts). The round-3
+            # re-trace backward (render_color_pallas_grads) is retained only
+            # as the test suite's second-opinion oracle — see its docstring.
             from .pallas_bwd import render_color_pallas_grads_site
 
             return (render_color_pallas_grads_site(scene, cfg, g),)
-        # Round-3 re-trace backward: per-object scalar tuples (unrolled-only,
-        # texture-free); other scenes take the jnp VJP behind the Pallas
-        # forward instead.
-        if (cfg.pallas_bwd and scene.objects.count <= _KERNEL_UNROLL_MAX
-                and scene.textures is None):
-            return (render_color_pallas_grads(scene, cfg, g),)
         _, vjp = jax.vjp(jnp_forward, scene)
         return vjp(g)
 
@@ -1349,7 +1356,7 @@ def _fast_march_fn(cfg: RenderConfig):
         return render_color_pallas_march(scene, cfg), scene
 
     def bwd(scene, g):
-        if cfg.pallas_bwd and cfg.pallas_bwd_site:
+        if cfg.pallas_bwd_enabled():
             # Site-recording march backward (ops/pallas_bwd.py): re-marches in
             # kernel (whole-program remat) and replays with the Newton-
             # reparameterized hit — ~a second march-kernel pass instead of the

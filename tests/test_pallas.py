@@ -566,11 +566,11 @@ def test_sample_texture_packed_matches_gather():
 
 
 def test_fast_path_textured_gradients_route_through_jnp():
-    """With the site backward disabled, textured scenes use the Pallas
-    forward + jnp VJP (the round-3 re-trace backward kernel is texture-free);
-    gradients must equal the pure-jnp gradients. (With pallas_bwd_site — the
-    default — textured gradients go through the fused site-reparameterized
-    backward instead; tests/test_pallas_bwd.py covers that path.)"""
+    """With the fused backward forced off (pallas_bwd=False), textured
+    scenes use the Pallas forward + jnp VJP; gradients must equal the
+    pure-jnp gradients. (With the default tri-state auto, textured gradients
+    go through the fused site-reparameterized backward on TPU;
+    tests/test_pallas_bwd.py covers that path.)"""
     import jax
     import jax.numpy as jnp
 
@@ -580,8 +580,7 @@ def test_fast_path_textured_gradients_route_through_jnp():
 
     scene = _textured_scene(1)
     cfg = rt.RenderConfig(xres=16, yres=8, max_reflections=1,
-                          refraction_unroll=1, pallas_bwd=True,
-                          pallas_bwd_site=False)
+                          refraction_unroll=1, pallas_bwd=False)
 
     def loss_fast(s):
         col = render_color_fast(s, cfg)

@@ -152,8 +152,8 @@ def test_site_bwd_many_objects_fori_regime():
 
 
 def test_fast_path_routes_textured_bwd_through_site_kernel(monkeypatch):
-    """render_color_fast with pallas_bwd (default pallas_bwd_site) must send
-    textured-scene gradients through the site kernel, not the jnp VJP."""
+    """render_color_fast with pallas_bwd enabled must send textured-scene
+    gradients through the site kernel, not the jnp VJP."""
     import jax
     import jax.numpy as jnp
 
@@ -182,6 +182,60 @@ def test_fast_path_routes_textured_bwd_through_site_kernel(monkeypatch):
     assert called["n"] == 1
     assert np.isfinite(np.asarray(g.objects.org.x)).all()
     _fast_fn.cache_clear()
+
+
+def test_site_bwd_matches_retrace_oracle():
+    """Cross-check the production site-reparameterized backward against the
+    round-3 re-trace backward kernel (demoted in r5 to exactly this role —
+    see render_color_pallas_grads' docstring): two completely independent
+    mechanisms (recorded-winner replay vs jax.vjp over a full re-trace) must
+    produce the same scene cotangents on pixels where their re-traced
+    primals agree."""
+    import jax
+    import jax.numpy as jnp
+
+    from ray_rust_tpu.models.vec import Color
+    from ray_rust_tpu.ops.pallas_bwd import render_color_pallas_grads_site
+    from ray_rust_tpu.ops.pallas_trace import render_color_pallas_grads
+
+    scene, _ = rt.default_scene()
+    scene = scene._replace(camera=scene.camera._replace(
+        position=scene.camera.position._replace(x=jnp.float32(0.37))))
+    cfg = rt.RenderConfig(xres=32, yres=16, pallas_bwd=True,
+                          max_reflections=2, refraction_unroll=1)
+    H, W = cfg.yres, cfg.xres
+
+    ones = Color(*(jnp.ones((H, W), jnp.float32) for _ in range(3)))
+    _, p_site = render_color_pallas_grads_site(scene, cfg, ones,
+                                               interpret=True,
+                                               return_primal=True)
+    _, p_ret = render_color_pallas_grads(scene, cfg, ones, interpret=True,
+                                         return_primal=True)
+    agree = (np.abs(_img_np(p_site) - _img_np(p_ret)).max(-1) < 1e-4)
+    assert agree.mean() > 0.9, f"primals agree on {agree.mean():.0%}"
+
+    rng = np.random.default_rng(3)
+    gm = rng.standard_normal((H, W)).astype(np.float32) * agree
+    g = Color(*(jnp.asarray(gm) for _ in range(3)))
+    ct_site = render_color_pallas_grads_site(scene, cfg, g, interpret=True)
+    ct_ret = render_color_pallas_grads(scene, cfg, g, interpret=True)
+
+    paths = jax.tree_util.tree_flatten_with_path(ct_site)[0]
+    lb = jax.tree_util.tree_leaves(ct_ret)
+    for (path, a), b in zip(paths, lb):
+        if getattr(a, "dtype", None) is None or str(a.dtype) != "float32":
+            continue
+        a = np.asarray(a, np.float64).ravel()
+        b = np.asarray(b, np.float64).ravel()
+        ks = jax.tree_util.keystr(path)
+        if "pattern_scale" in ks:
+            assert np.isfinite(a).all()
+            continue
+        denom = max(np.linalg.norm(b), 1e-2)
+        rel = np.linalg.norm(a - b) / denom
+        assert rel < 0.01, (
+            f"{ks}: relative-L2 grad diff {rel:.4f} (leaf norm {denom:.3g})"
+        )
 
 
 def _compare_march_bwd(glow):
