@@ -238,16 +238,26 @@ def main():
 
     # ---- supplementary: raymarch + glow 1280x720 (BASELINE config 3) ----
     march_ms = None
+    march_single_ms = None
     march_budget_ms = None
     if work_s() < BUDGETS["march_fwd"]:
         try:
             mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
                                    glow_effect=1.0)
-            march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
-            m_t = timed(march, scene, iters=2, what="march")
+            # Amortized chain = renderer cost (same methodology as the fwd
+            # headline — the ~22 ms/dispatch tunnel round-trip is environment
+            # latency; r4's 41.1 ms march number was single-dispatch and so
+            # carried it). Both reported.
+            m_t = timed(chain_of(render_color, mcfg), scene, iters=3,
+                        what="march-chain") / CHAIN
             march_ms = m_t * 1e3
-            log(f"raymarch+glow 720p: {march_ms:.1f} ms -> "
+            log(f"raymarch+glow 720p amortized: {march_ms:.1f} ms -> "
                 f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
+            march = jax.jit(lambda s: scalar(render_color(s, mcfg)))
+            ms_t = timed(march, scene, iters=2, what="march-single")
+            march_single_ms = ms_t * 1e3
+            log(f"raymarch+glow 720p single-dispatch (r4-comparable): "
+                f"{march_single_ms:.1f} ms")
             # quality-trade headroom: the reference's own MAX_ITER=10000 is a
             # quality knob (render.rs:1255); a 1024-step budget converges all
             # but a sub-horizon sliver of rays and halves wall time.
@@ -489,6 +499,8 @@ def main():
     # path it aliased fwd_amortized_mrays — ADVICE r4.)
     if march_ms is not None:
         extra["raymarch_720p_ms"] = round(march_ms, 1)
+    if march_single_ms is not None:
+        extra["raymarch_720p_single_dispatch_ms"] = round(march_single_ms, 1)
     if march_budget_ms is not None:
         extra["raymarch_budget1024_720p_ms"] = round(march_budget_ms, 1)
     if march_fb_ms is not None:

@@ -48,6 +48,7 @@ from .pallas_trace import (
     _pack_scene,
     _pattern_diffuse,
     _powf,
+    _tile_cond,
     _tile_origin,
     _tile_rays,
 )
@@ -81,23 +82,208 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
     while_loop carry in VMEM; the loop exits when every live lane converges,
     escapes, or passes the iteration cap.
 
-    ``record_glow`` additionally tracks the glow argmin's sample position,
-    object index and step index (ops/march.py's glow_pos/glow_iter contract)
-    — carried state for the site-recording backward (ops/pallas_bwd.py);
-    the pure forward kernel leaves it off.
+    RAY-PARAMETRIC FORM (unrolled regime): a march lap travels a straight
+    line, so every object's SDF along it is a function of the scalar travel
+    ``t`` with per-lap constants — ``sqrt(perp^2 + (t - s*)^2) - r`` for
+    spheres (s* = closest-approach offset, perp = line distance), affine
+    ``d0 + slope*t`` for floors. The per-step scene sweep drops from full
+    3D point SDFs to ~half the arithmetic, the carried state drops the 3
+    position arrays (travel alone determines the position), and the
+    floor-tail shortcut reuses the same constants for its winner-stability
+    roots. Travel accumulates the exact same step lengths in the same order
+    as the reference's position update; evaluated distances round
+    differently at ~ulp scale (the usual knife-edge contract). The
+    fori_loop regime (>64 objects) keeps the position-based sweep
+    (per-object constants would need N tile-shaped arrays).
+
+    ``record_glow`` additionally tracks the glow argmin's sample position
+    (as its travel offset), object index and step index (ops/march.py's
+    glow_pos/glow_iter contract) — carried state for the site-recording
+    backward (ops/pallas_bwd.py); the pure forward kernel leaves it off.
 
     ``need_glow=False`` drops the glow-metric min channel entirely: shadow
     marches only consume the hit/escape decision (travel/iter,
     render.rs:1053-1067) and glow-off renders never read ``min_dist``, so
     the per-object glow multiply+compare every step and the tail shortcut's
-    closed-form glow argmin are dead work on those paths. The returned
-    ``min_dist`` is +inf. Exact: the reference computes and discards the
-    same values (render.rs:1244-1247)."""
+    closed-form glow argmin are dead work on those paths (the reference
+    computes and discards the same values, render.rs:1244-1247). The
+    returned ``min_dist`` is +inf. It also enables the NEVER-CONVERGES fast
+    path: when every object's distance provably stays > 2*eps over the
+    whole forward ray, no sample of any distance can dip below eps on any
+    step phasing, so the lane cannot hit anything and must exit by
+    travel>far or the iteration cap — which produce identical consumed
+    decisions (shadow ``lit``, primary miss) — and the lane finishes in
+    zero steps."""
     shape = jnp.shape(init_pos.x)
     if record_glow:
         need_glow = True
-    # The done mask is carried as int32 (1 = done): Mosaic fails to legalize
-    # while_loops with vector-of-i1 carries ('scf.yield' legalization error).
+    if not ks.unrolled:
+        return _march_single_fori(ks, cfg, init_pos, eye, ig, active,
+                                  record_glow, need_glow)
+    eps = np.float32(cfg.march_eps)
+    far = np.float32(cfg.far_away)
+    cap = np.int32(cfg.march_max_iter)
+
+    # per-lap ray-parametric constants
+    geom = []
+    for j, o in enumerate(ks.objs):
+        w = o["org"] - init_pos
+        s_star = w.dot(eye)
+        pv = w - eye * s_star
+        geom.append(dict(
+            s_star=s_star,
+            perp2=pv.squared_len(),
+            d0=-(w.dot(o["normal"])),      # (p0 - org).n
+            slope=eye.dot(o["normal"]),
+            r=o["radius"], gd=o["glow_dist"],
+            is_sph=o["kind"] == KIND_SPHERE,
+            skip=jnp.int32(j) == ig,
+        ))
+
+    def dist_at(g, t):
+        dt = t - g["s_star"]
+        d_sph = jnp.maximum(jnp.sqrt(g["perp2"] + dt * dt) - g["r"], 0.0)
+        d_flo = jnp.maximum(g["d0"] + g["slope"] * t, 0.0)
+        return jnp.where(g["is_sph"], d_sph, d_flo)
+
+    def estimate(t, with_glow, with_gobj=False):
+        closest = jnp.full(shape, _BIG, jnp.float32)
+        idx = jnp.zeros(shape, jnp.int32)
+        glowing = jnp.full(shape, _BIG, jnp.float32) if with_glow else None
+        gobj = (jnp.zeros(shape, jnp.int32)
+                if (with_glow and with_gobj) else None)
+        for j, g in enumerate(geom):
+            d = dist_at(g, t)
+            closer = ~g["skip"] & (d < closest)
+            closest = jnp.where(closer, d, closest)
+            idx = jnp.where(closer, jnp.int32(j), idx)
+            if with_glow:
+                glow = d * g["gd"]
+                gupd = ~g["skip"] & (glow > 0.0) & (glow < glowing)
+                glowing = jnp.where(gupd, glow, glowing)
+                if gobj is not None:
+                    gobj = jnp.where(gupd, jnp.int32(j), gobj)
+        return closest, idx, glowing, gobj
+
+    done0 = (~active).astype(jnp.int32)
+    travel0 = jnp.zeros(shape, jnp.float32)
+    fd0 = jnp.zeros(shape, jnp.float32)
+    it0 = jnp.zeros(shape, jnp.int32)
+    if not need_glow:
+        # NEVER-CONVERGES fast path (see docstring): min forward distance
+        # per object over [0, inf) — perp - r past the closest approach,
+        # current distance if behind (spheres); floors clear only when not
+        # descending toward them.
+        clear = jnp.ones(shape, bool)
+        for g in geom:
+            perp = jnp.sqrt(g["perp2"])
+            w0 = jnp.sqrt(g["perp2"] + g["s_star"] * g["s_star"])
+            dmin_s = jnp.where(g["s_star"] > 0.0, perp, w0) - g["r"]
+            dmin_f = jnp.where(g["slope"] >= 0.0, g["d0"], -_BIG)
+            dmin = jnp.where(g["is_sph"], dmin_s, dmin_f)
+            clear = clear & (g["skip"] | (dmin > 2.0 * eps))
+        resolved = active & clear
+        done0 = jnp.maximum(done0, resolved.astype(jnp.int32))
+        travel0 = jnp.where(resolved, far, travel0)
+        fd0 = jnp.where(resolved, far, fd0)
+        it0 = jnp.where(resolved, jnp.int32(1), it0)
+
+    # done carried as int32 (1 = done): Mosaic fails to legalize while_loops
+    # with vector-of-i1 carries ('scf.yield' legalization error).
+    state = (
+        travel0,
+        it0,
+        jnp.full(shape, _BIG, jnp.float32),      # min glow
+        fd0,
+        jnp.zeros(shape, jnp.int32),             # idx
+        done0,
+    )
+    if not need_glow:
+        state = state[:2] + state[3:]            # drop the min-glow slot
+
+    def unpack(s):
+        if need_glow:
+            return s[:6]
+        travel, it, fd, idx, done = s[:5]
+        return travel, it, None, fd, idx, done
+
+    if record_glow:
+        state = state + (
+            jnp.zeros(shape, jnp.float32),        # glow argmin travel
+            jnp.zeros(shape, jnp.int32),          # glow argmin object
+            jnp.full(shape, -1, jnp.int32),       # glow argmin step (pre-inc)
+        )
+    n_core = 6 if need_glow else 5
+
+    def once(s):
+        travel, it, mind, fd, idx, done = unpack(s)
+        dist, i, glow, gobj = estimate(travel, need_glow, record_glow)
+        live = done == 0
+        new_it = it + 1
+        stop = (dist < eps) | (dist > far) | (new_it > cap)
+        out = (
+            jnp.where(live, travel + dist, travel),
+            jnp.where(live, new_it, it),
+        )
+        if need_glow:
+            gupd = live & (glow < mind)
+            out = out + (jnp.where(gupd, glow, mind),)
+        out = out + (
+            jnp.where(live, dist, fd),
+            jnp.where(live, i, idx),
+            jnp.maximum(done, (live & stop).astype(jnp.int32)),
+        )
+        if record_glow:
+            g_t, g_o, g_i = s[6:]
+            out = out + (
+                jnp.where(gupd, travel, g_t),
+                jnp.where(gupd, gobj, g_o),
+                jnp.where(gupd, it, g_i),
+            )
+        return out
+
+    chunk = max(1, cfg.pallas_march_chunk)
+
+    def steps(s):
+        for _ in range(chunk):
+            s = once(s)
+        return s
+
+    def body(s):
+        if cfg.march_floor_skip:
+            s = _floor_tail(cfg, geom, estimate, s, record_glow, need_glow)
+            # The closed form resolves every floor-winner lane at once — on
+            # the default scene most tiles (sky, open floor) finish right
+            # here, so gate the chunk of masked step-by-step iterations on
+            # a lane still being live.
+            s = _tile_cond(jnp.min(s[n_core - 1]) == 0, steps, s)
+        else:
+            s = steps(s)
+        return s
+
+    state = lax.while_loop(lambda s: jnp.min(s[n_core - 1]) == 0, body, state)
+    travel, it, mind, fd, idx, _done = unpack(state)
+    if mind is None:
+        mind = jnp.full(shape, _BIG, jnp.float32)
+    res = MarchResult(
+        final_dist=fd, idx=idx, pos=init_pos + eye * travel, iter=it,
+        travel_dist=travel, min_dist=mind,
+    )
+    if record_glow:
+        g_t, g_o, g_i = state[6:]
+        res = res._replace(glow_pos=init_pos + eye * g_t, glow_iter=g_i)
+        return res, g_o
+    return res
+
+
+def _march_single_fori(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
+                       eye: Vec3, ig, active, record_glow: bool,
+                       need_glow: bool) -> MarchResult:
+    """Position-based march for the fori_loop scene regime (>64 objects):
+    the scene sweep reads the SMEM table at traced indices
+    (ks.distance_estimate), so per-object ray constants cannot be
+    precomputed and the floor-tail shortcut does not apply."""
+    shape = jnp.shape(init_pos.x)
     state = (
         init_pos.x, init_pos.y, init_pos.z,
         jnp.zeros(shape, jnp.float32),           # travel
@@ -108,7 +294,6 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         (~active).astype(jnp.int32),             # done (0/1)
     )
     if not need_glow:
-        # drop the min-glow carry (slot 5) — restored as +inf on exit
         state = state[:5] + state[6:]
 
     def unpack(s):
@@ -164,11 +349,8 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
         return out
 
     chunk = max(1, cfg.pallas_march_chunk)
-    use_skip = cfg.march_floor_skip and ks.unrolled
 
     def body(s):
-        if use_skip:
-            s = _floor_tail(ks, cfg, eye, ig, s, record_glow, need_glow)
         for _ in range(chunk):
             s = once(s)
         return s
@@ -188,78 +370,79 @@ def _march_single(ks: _KernelScene, cfg: RenderConfig, init_pos: Vec3,
     return res
 
 
-def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
+def _floor_tail(cfg: RenderConfig, geom, estimate, s,
                 record_glow: bool, need_glow: bool = True):
-    """Closed-form resolution of a floor-approach march tail (see
-    ``cfg.march_floor_skip``).
+    """Closed-form PARTIAL resolution of a floor-winner march tail (see
+    ``cfg.march_floor_skip``), over the ray-parametric state.
 
-    Applicability (per lane): the current nearest object is a floor, and
-    every other object provably stays strictly farther than the floor's
-    distance over the WHOLE remaining tail range ``[0, S]`` (S = the tail's
-    total travel, known in closed form before the check). Then every
-    remaining evaluation sees the floor as winner and the evaluated distances
-    form ``h_k = h * rho^k`` with ``rho = 1 + e.n``:
+    While the nearest object is a floor, the evaluated distances form
+    ``h_k = h * rho^k`` with ``rho = 1 + e.n`` (each step moves ``h_k``
+    along the ray, changing the floor distance by ``h_k * e.n``):
 
     * rho < 1: hits at the first k with h_k < eps;
     * rho > 1: escapes at the first k with h_k > far;
     * either way the iteration cap (render.rs:1255) bounds k;
     * travel is the geometric sum, the final position one step past the
       stopping evaluation (mirroring the update-then-check loop order);
-    * the glow channel's sampled minimum over the tail is found in closed
-      form: per object the distance along the ray is unimodal in the travel
-      parameter, so the discrete argmin over the geometric sample points is
-      at the endpoints or the two samples bracketing the continuous argmin —
-      four candidate evaluations replace up to 10^4 steps. (Within
-      applicability every non-winner distance stays above the winner floor's
-      distance > 0 over the whole tail, so the ``glow > 0`` filter never
-      clips a candidate interval.)
+    * the glow channel's sampled minimum over the resolved samples is found
+      in closed form: per object the distance along the ray is unimodal in
+      travel, so the discrete argmin over the geometric sample points is at
+      the endpoints or the two samples bracketing the continuous argmin —
+      four candidate evaluations replace up to 10^4 steps. (Within the
+      resolved segment every non-winner distance stays above the winner
+      floor's distance > 0, so the ``glow > 0`` filter never clips a
+      candidate interval.)
 
-    The per-object safety bound is exact (up to f32), not heuristic: with
-    ``a = rho - 1`` the floor's distance along the tail is the affine
-    ``h + a*s``, a sphere's unclamped SDF along the ray is the convex
-    ``sqrt(perp^2 + (s - s*)^2) - r``, so their difference ``g(s)`` is convex
-    and its minimum over ``[0, S]`` is at an endpoint or the single interior
-    critical point ``s_c = s* + a*perp/sqrt(1-a^2)`` where
-    ``g(s_c) = perp*sqrt(1-a^2) - r - h - a*s*``. Another floor's SDF is
-    affine, so endpoint checks suffice. This covers BOTH branches soundly —
-    the round-4 check compared other objects against the *initial* ``h``
-    only, which under-constrained the escape branch (rho > 1: the floor
-    distance grows, so a sphere beyond ``h`` could still become the SDF
-    winner mid-tail and move the glow argmin — ADVICE r4, high).
+    The closed form is valid exactly while the floor REMAINS the SDF
+    winner. With ``a = rho - 1`` the floor's distance along the tail is the
+    affine ``h + a*s`` and each other object's distance along the ray is
+    convex (spheres) or affine (floors), so the first travel offset where
+    an object would tie the floor — ``s_break`` — is a closed-form root
+    (quadratic / linear). The tail is resolved only over samples strictly
+    inside ``[0, s_break)``: lanes whose geometric stop lands inside finish
+    outright; lanes interrupted by an approaching object FAST-FORWARD to
+    the boundary and hand back to the step-by-step loop, still skipping the
+    long geometric crawl (horizon-grazing rays have tiny ``|a|`` and
+    distant interlopers, so their thousands-of-step tails resolve in one or
+    two fast-forwards). Every resolved sample equals the step-by-step
+    loop's sample exactly (up to f32 rounding), on BOTH branches — the
+    round-4 check compared objects against the initial ``h`` only, which
+    was unsound for rho > 1 (ADVICE r4, high).
+
+    ``need_glow=False`` adds a decision-only relaxation for escape lanes:
+    when every other object clears the whole undisturbed tail by > 2*eps, a
+    mid-tail winner switch cannot change any consumed output — the lane
+    cannot converge anywhere, so it exits by travel>far or the iteration
+    cap, and shadow ``lit`` / primary hit decisions coincide for all three
+    exits.
     """
     if need_glow:
-        px, py, pz, travel, it, mind, fd, idx, done = s[:9]
+        travel, it, mind, fd, idx, done = s[:6]
     else:
-        px, py, pz, travel, it, fd, idx, done = s[:8]
+        travel, it, fd, idx, done = s[:5]
         mind = None
-    p = Vec3(px, py, pz)
-    shape = jnp.shape(px)
+    shape = jnp.shape(travel)
     live = done == 0
     eps = np.float32(cfg.march_eps)
     far = np.float32(cfg.far_away)
     cap = np.int32(cfg.march_max_iter)
+    T = travel
 
-    # fresh winner sweep at the current position (one extra SDF evaluation
-    # per while trip — ~1/chunk overhead)
-    h, win, _, _ = ks.distance_estimate(p, ig, with_glow=False)
+    # fresh winner sweep at the current travel (one extra scene sweep per
+    # while trip — ~1/chunk overhead)
+    h, win, _, _ = estimate(T, False)
 
-    # pass 1 over objects: winner kind + normal
+    # pass 1 over objects: winner kind; rho = 1 + e.n_win = 1 + slope_win
     win_is_floor = jnp.zeros(shape, bool)
-    n_win = Vec3(*(jnp.zeros(shape, jnp.float32) for _ in range(3)))
-    for j, o in enumerate(ks.objs):
-        is_win = win == jnp.int32(j)
-        is_floor_j = o["kind"] != KIND_SPHERE
-        win_is_floor = win_is_floor | (is_win & is_floor_j)
-        n_win = Vec3(
-            jnp.where(is_win, o["normal"].x, n_win.x),
-            jnp.where(is_win, o["normal"].y, n_win.y),
-            jnp.where(is_win, o["normal"].z, n_win.z),
-        )
+    rho = jnp.ones(shape, jnp.float32)
+    for j, g in enumerate(geom):
+        is_win_floor = (win == jnp.int32(j)) & ~g["is_sph"]
+        win_is_floor = win_is_floor | is_win_floor
+        rho = jnp.where(is_win_floor, 1.0 + g["slope"], rho)
 
-    rho = 1.0 + eye.dot(n_win)
     pre = (live & win_is_floor & (h > eps) & (h < far) & (rho > 1e-6))
 
-    # --- stop step k (0-based index of the stopping evaluation) ------------
+    # --- undisturbed geometric stop step (0-based stopping evaluation) -----
     rho_s = jnp.where(pre, rho, 0.5)
     h_s = jnp.where(pre, h, 1.0)
     log_rho = jnp.log(rho_s)
@@ -269,101 +452,131 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
     k_esc = jnp.ceil((jnp.log(far) - jnp.log(h_s)) / lr_s)
     k_geo = jnp.where(rho_s < 1.0, k_hit, k_esc)
     k_cap = (cap - it).astype(jnp.float32)
-    kf = jnp.where(lr_ok, jnp.minimum(k_geo, k_cap), k_cap)
-    kf = jnp.maximum(kf, 0.0)
-    k_i = kf.astype(jnp.int32)
-    kf = k_i.astype(jnp.float32)
+    k_stop = jnp.where(lr_ok, jnp.minimum(k_geo, k_cap), k_cap)
+    k_stop = jnp.maximum(k_stop, 0.0)
 
     geo_ok = jnp.abs(1.0 - rho_s) > 1e-6
+    a = rho_s - 1.0
 
     def s_of(i_f):
         """travel offset of sample i (= sum of the first i step lengths)."""
         rho_i = jnp.exp(i_f * log_rho)
         return h_s * jnp.where(geo_ok, (1.0 - rho_i) / (1.0 - rho_s), i_f)
 
+    # full undisturbed tail horizon (for the clearance check's range)
+    S_stop = s_of(k_stop + 1.0)
+
+    # pass 2 over objects: winner-stability break point (see docstring)
+    quad_ok = jnp.abs(a) < 0.99
+    a_q = jnp.where(quad_ok, a, 0.0)
+    A2 = jnp.maximum(1.0 - a_q * a_q, 1e-4) * 2.0
+    s_break = jnp.full(shape, _BIG, jnp.float32)
+    for j, g in enumerate(geom):
+        s_rel = g["s_star"] - T
+        wlen2 = g["perp2"] + s_rel * s_rel
+        r = g["r"]
+        rh = r + h
+        # sphere root: (1-a^2) s^2 - 2(s_rel + a*rh) s + (wlen2 - rh^2) = 0
+        B = -2.0 * (s_rel + a_q * rh)
+        C = wlen2 - rh * rh
+        D = B * B - 2.0 * A2 * C
+        sqrtD = jnp.sqrt(jnp.maximum(D, 0.0))
+        r_lo = (-B - sqrtD) / A2
+        r_hi = (-B + sqrtD) / A2
+        sb_sph = jnp.where(
+            (D >= 0.0) & quad_ok,
+            jnp.where(r_lo > 0.0, r_lo,
+                      jnp.where(r_hi > 0.0, 0.0, _BIG)),
+            jnp.where(quad_ok, _BIG, 0.0),
+        )
+        # floor root: (d0_rel - h) + (slope - a) s = 0
+        d0_rel = g["d0"] + g["slope"] * T
+        sl_a = g["slope"] - a
+        sb_flo = jnp.where(
+            d0_rel > h,
+            jnp.where(sl_a >= 0.0, _BIG,
+                      (d0_rel - h) / jnp.maximum(-sl_a, 1e-12)),
+            0.0,
+        )
+        sb_j = jnp.where(g["is_sph"], sb_sph, sb_flo)
+        if not need_glow:
+            # decision-only clearance over [0, S_stop] (escape lanes)
+            dS = jnp.sqrt(g["perp2"]
+                          + (S_stop - s_rel) * (S_stop - s_rel))
+            w0 = jnp.sqrt(wlen2)
+            interior = (s_rel > 0.0) & (s_rel < S_stop)
+            d_min_s = jnp.minimum(
+                jnp.minimum(w0, dS),
+                jnp.where(interior, jnp.sqrt(g["perp2"]), _BIG),
+            ) - r
+            d_min_f = jnp.minimum(d0_rel, d0_rel + g["slope"] * S_stop)
+            d_min = jnp.where(g["is_sph"], d_min_s, d_min_f)
+            clear = (a > 0.0) & (d_min > 2.0 * eps)
+            sb_j = jnp.where(clear, _BIG, sb_j)
+        skip_j = (win == jnp.int32(j)) | g["skip"]
+        s_break = jnp.minimum(s_break, jnp.where(skip_j, _BIG, sb_j))
+
+    # largest sample index with s_of(k) strictly inside the safe zone:
+    # s_of(k) < s_break  <=>  rho^k `vs` 1 + s_break*a/h (direction by the
+    # sign of log rho)
+    arg2 = 1.0 + s_break * a / h_s
+    arg2_ok = arg2 > 0.0
+    k_bound = jnp.where(
+        lr_ok,
+        jnp.where(arg2_ok,
+                  jnp.log(jnp.where(arg2_ok, arg2, 1.0)) / lr_s,
+                  jnp.where(a < 0.0, np.float32(3e7), 0.0)),
+        s_break / h_s,
+    )
+    k_safe = jnp.ceil(jnp.minimum(k_bound, 3e7)) - 1.0
+
+    done2 = k_stop <= k_safe
+    progress = done2 | (k_safe >= 1.0)
+    applicable = pre & progress
+
+    kf = jnp.maximum(jnp.where(done2, k_stop, k_safe), 0.0)
+    k_i = kf.astype(jnp.int32)
+    kf = k_i.astype(jnp.float32)
+
     rho_k = jnp.exp(kf * log_rho)
     m_f = kf + 1.0
     S = h_s * jnp.where(geo_ok, (1.0 - rho_k * rho_s) / (1.0 - rho_s), m_f)
     fd2 = h_s * rho_k
-    p2 = p + eye * S
     travel2 = travel + S
     it2 = it + k_i + 1
-
-    # pass 2 over objects: exact whole-tail safety check over [0, S] (see
-    # docstring — convex g(s) for spheres: interior critical point +
-    # endpoints; affine for floors: endpoints). |a| >= 1 has no interior
-    # critical point (g' is one-signed), so endpoints are exact there.
-    a = rho_s - 1.0
-    safe = jnp.ones(shape, bool)
-    for j, o in enumerate(ks.objs):
-        is_sph = o["kind"] == KIND_SPHERE
-        w = o["org"] - p
-        s_star = w.dot(eye)
-        wlen2 = w.squared_len()
-        wlen = jnp.sqrt(jnp.maximum(wlen2, 1e-30))
-        perp2 = jnp.maximum(wlen2 - s_star * s_star, 0.0)
-        perp = jnp.sqrt(perp2)
-        r = o["radius"]
-        g0 = wlen - r - h
-        dS2 = perp2 + (S - s_star) * (S - s_star)
-        gS = jnp.sqrt(jnp.maximum(dS2, 0.0)) - r - h - a * S
-        a_ok = jnp.abs(a) < 1.0 - 1e-6
-        a_c = jnp.where(a_ok, a, 0.0)
-        root = jnp.sqrt(jnp.maximum(1.0 - a_c * a_c, 1e-12))
-        s_c = s_star + a_c * perp / root
-        g_crit = perp * root - r - h - a_c * s_star
-        interior = a_ok & (s_c > 0.0) & (s_c < S)
-        g_min = jnp.minimum(jnp.minimum(g0, gS),
-                            jnp.where(interior, g_crit, _BIG))
-        d0 = -(w.dot(o["normal"]))  # (p - org).n
-        slope = eye.dot(o["normal"])
-        floor_safe = (d0 > h) & (d0 + slope * S > h + a * S)
-        # logical ops, not where: Mosaic cannot legalize selects between
-        # i1 vectors
-        obj_safe = (is_sph & (g_min > 0.0)) | (~is_sph & floor_safe)
-        skip_j = (win == jnp.int32(j)) | (jnp.int32(j) == ig)
-        safe = safe & (skip_j | obj_safe)
-
-    applicable = pre & safe
 
     def pick(new, old):
         return jnp.where(applicable, new, old)
 
-    out = (
-        pick(p2.x, px), pick(p2.y, py), pick(p2.z, pz),
-        pick(travel2, travel), pick(it2, it),
-    )
+    out = (pick(travel2, travel), pick(it2, it))
 
     if need_glow:
-        # --- glow channel over the tail samples -----------------------------
+        # --- glow channel over the resolved tail samples --------------------
         best_v = jnp.full(shape, _BIG, jnp.float32)
         best_i = jnp.zeros(shape, jnp.float32)
         best_j = jnp.zeros(shape, jnp.int32)
-        for j, o in enumerate(ks.objs):
-            gd = o["glow_dist"]
-            w = o["org"] - p
-            s_star = jnp.clip(w.dot(eye), 0.0, S)
+        for j, g in enumerate(geom):
+            gd = g["gd"]
+            s_star_rel = jnp.clip(g["s_star"] - T, 0.0, S)
             # sample index whose travel offset is nearest the continuous
             # argmin
-            arg = 1.0 - s_star * (1.0 - rho_s) / h_s
+            arg = 1.0 - s_star_rel * (1.0 - rho_s) / h_s
             i_star = jnp.where(
                 geo_ok,
                 jnp.log(jnp.maximum(arg, 1e-30)) / lr_s,
-                s_star / h_s,
+                s_star_rel / h_s,
             )
             i1 = jnp.clip(jnp.floor(i_star), 0.0, kf)
             for i_c in (jnp.zeros(shape, jnp.float32), i1,
                         jnp.minimum(i1 + 1.0, kf), kf):
-                pos_c = p + eye * s_of(i_c)
-                delta = o["org"] - pos_c
-                sq = delta.squared_len()
-                ln = jnp.sqrt(jnp.where(sq > 0, sq, 1.0))
+                t_c = T + s_of(i_c)
+                dt = t_c - g["s_star"]
                 d_sph = jnp.maximum(
-                    jnp.where(sq > 0, ln, 0.0) - o["radius"], 0.0)
-                d_flo = jnp.maximum((pos_c - o["org"]).dot(o["normal"]), 0.0)
-                d_c = jnp.where(o["kind"] == KIND_SPHERE, d_sph, d_flo)
+                    jnp.sqrt(g["perp2"] + dt * dt) - g["r"], 0.0)
+                d_flo = jnp.maximum(g["d0"] + g["slope"] * t_c, 0.0)
+                d_c = jnp.where(g["is_sph"], d_sph, d_flo)
                 g_c = d_c * gd
-                ok_c = (g_c > 0.0) & (jnp.int32(j) != ig)
+                ok_c = (g_c > 0.0) & ~g["skip"]
                 upd = ok_c & (g_c < best_v)
                 best_v = jnp.where(upd, g_c, best_v)
                 best_i = jnp.where(upd, i_c, best_i)
@@ -374,21 +587,22 @@ def _floor_tail(ks: _KernelScene, cfg: RenderConfig, eye: Vec3, ig, s,
 
     out = out + (
         pick(fd2, fd), pick(win, idx),
-        jnp.maximum(done, applicable.astype(jnp.int32)),
+        # partial fast-forwards (k_safe binds) leave the lane LIVE at its
+        # advanced position; only a geometric/cap stop inside the safe zone
+        # finishes it
+        jnp.maximum(done, (applicable & done2).astype(jnp.int32)),
     )
     if record_glow:
-        gx, gy, gz, go, gi = s[9:]
-        pos_b = p + eye * s_of(best_i)
+        g_t, g_o, g_i = s[6:]
         out = out + (
-            jnp.where(gupd, pos_b.x, gx),
-            jnp.where(gupd, pos_b.y, gy),
-            jnp.where(gupd, pos_b.z, gz),
-            jnp.where(gupd, best_j, go),
-            jnp.where(gupd, it + best_i.astype(jnp.int32), gi),
+            jnp.where(gupd, T + s_of(best_i), g_t),
+            jnp.where(gupd, best_j, g_o),
+            jnp.where(gupd, it + best_i.astype(jnp.int32), g_i),
         )
     else:
-        out = out + tuple(s[(9 if need_glow else 8):])
+        out = out + tuple(s[(6 if need_glow else 5):])
     return out
+
 
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields, n: Vec3,
@@ -445,7 +659,18 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields, n: Vec3,
         pt3 = pt + ray * F32_EPSILON
         sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
         sub_active = (f > 0.0) & active
-        fc2 = _raymarch(ks, cfg, pt3, ray, nest, idx, sub_flags, sub_active)
+        # Tile-level divergence skip (same as the trace kernel's _shading):
+        # the refraction sub-march only contributes where a transparent
+        # material was hit; tiles with no such live lane skip the whole
+        # sub-trace. Exact — lanes with f == 0 discard fc2 in the blend
+        # below, and inactive f > 0 lanes are discarded by the caller's
+        # shaded mask.
+        fc2 = _tile_cond(
+            jnp.any(sub_active),
+            lambda _z: _raymarch(ks, cfg, pt3, ray, nest, idx, sub_flags,
+                                 sub_active),
+            Color.zero(jnp.shape(f)),
+        )
         blended = Color(
             (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
             (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
@@ -491,13 +716,50 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
         )
         hit = res.final_dist < cfg.march_eps
         pt = res.pos
-        fields = ks.gather(res.idx)
-        n = ks.normal_at(fields, pt)
-        face = _shading(ks, cfg, res.idx, fields, n, pt, eye, lev_i,
-                        active & hit)
+        shaded = active & hit
 
-        ret, fcs = _accumulate(ret, fcs, face, fields.specular, active & hit,
-                               flags)
+        # Tile-level skip of the whole shading/reflect body: pure-sky tiles
+        # (no hit anywhere) and settled tiles on later laps (every surviving
+        # lane is a bg-re-adding miss) pay one condition check instead of
+        # the gather + shadow march + pattern + reflect chain. Exact: every
+        # skipped op is fully masked by ``shaded``/``upd`` anyway.
+        def lap_work(carry, res=res, hit=hit, pt=pt, shaded=shaded,
+                     lev_i=lev_i):
+            (rr, rg, rb, fr, fg, fb, px, py, pz, ex, ey, ez, fl, igv,
+             _ch) = carry
+            ret_c = Color(rr, rg, rb)
+            fcs_c = Color(fr, fg, fb)
+            eye_c = Vec3(ex, ey, ez)
+            fields = ks.gather(res.idx)
+            n = ks.normal_at(fields, pt)
+            face = _shading(ks, cfg, res.idx, fields, n, pt, eye_c, lev_i,
+                            shaded)
+            ret2, fcs2 = _accumulate(ret_c, fcs_c, face, fields.specular,
+                                     shaded, fl)
+            cont_hit = (
+                hit
+                & (res.idx != 0)
+                & (fcs2.sum() > 0.1)
+                & (lev_i < cfg.raymarch_max_reflections)
+            )
+            upd = shaded & cont_hit
+            pos2, eye2, fl2, ig2 = _reflect_update(
+                Vec3(px, py, pz), eye_c, fl, igv, pt, n, res.idx, upd)
+            return (ret2.r, ret2.g, ret2.b, fcs2.r, fcs2.g, fcs2.b,
+                    pos2.x, pos2.y, pos2.z, eye2.x, eye2.y, eye2.z,
+                    fl2, ig2, cont_hit.astype(jnp.int32))
+
+        carry = (ret.r, ret.g, ret.b, fcs.r, fcs.g, fcs.b,
+                 pos.x, pos.y, pos.z, eye.x, eye.y, eye.z,
+                 flags, ig, jnp.zeros(shape, jnp.int32))
+        carry = _tile_cond(jnp.any(shaded), lap_work, carry)
+        (rr, rg, rb, fr, fg, fb, px, py, pz, ex, ey, ez, flags, ig,
+         ch_i) = carry
+        ret = Color(rr, rg, rb)
+        fcs = Color(fr, fg, fb)
+        pos = Vec3(px, py, pz)
+        eye = Vec3(ex, ey, ez)
+        cont_hit = ch_i != 0
 
         miss = active & ~hit
         bg = bg_fn(ks.light, eye)
@@ -507,16 +769,8 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
             ret.b + jnp.where(miss, bg.b * fcs.b, 0.0),
         )
 
-        cont_hit = (
-            hit
-            & (res.idx != 0)
-            & (fcs.sum() > 0.1)
-            & (lev_i < cfg.raymarch_max_reflections)
-        )
         cont = active & (cont_hit | ~hit)
         upd = active & cont_hit
-        pos, eye, flags, ig = _reflect_update(pos, eye, flags, ig, pt, n,
-                                              res.idx, upd)
         active = cont
         need_march = upd
 
