@@ -353,6 +353,7 @@ def main():
 
     # ---- supplementary: textured default scene (reference's bar.png path) --
     tex_ms = None
+    tex_single_ms = None
     tex_fb_ms = None
     if work_s() < BUDGETS["textured"]:
         try:
@@ -373,11 +374,16 @@ def main():
                 Image.fromarray(tex, "RGB").save(os.path.join(td, "bar.png"))
                 tex_scene, _ = build_default(texture_dir=td)
             tcfg = rt.RenderConfig(xres=W, yres=H)
-            texf = jax.jit(lambda s: scalar(render_color(s, tcfg)))
-            t_t = timed(texf, tex_scene, iters=3, what="textured")
+            t_t = timed(chain_of(render_color, tcfg), tex_scene, iters=3,
+                        what="textured-chain") / CHAIN
             tex_ms = t_t * 1e3
-            log(f"textured 1080p fwd: {tex_ms:.1f} ms -> "
+            log(f"textured 1080p fwd amortized: {tex_ms:.1f} ms -> "
                 f"{rays/t_t/1e6:.1f} Mrays/s primary")
+            texf = jax.jit(lambda s: scalar(render_color(s, tcfg)))
+            ts_t = timed(texf, tex_scene, iters=3, what="textured-single")
+            tex_single_ms = ts_t * 1e3
+            log(f"textured 1080p fwd single-dispatch (r4-comparable): "
+                f"{tex_single_ms:.1f} ms")
 
             # textured fwd+bwd (VERDICT r3 #3: backward covers textures)
             tkcfg = tcfg
@@ -509,6 +515,8 @@ def main():
         extra["stress_101obj_640x480_ms"] = round(stress_ms, 1)
     if tex_ms is not None:
         extra["textured_1080p_ms"] = round(tex_ms, 1)
+    if tex_single_ms is not None:
+        extra["textured_1080p_single_dispatch_ms"] = round(tex_single_ms, 1)
     if tex_fb_ms is not None:
         extra["textured_fwd_bwd_1080p_ms"] = round(tex_fb_ms, 1)
     if k4_ms is not None:

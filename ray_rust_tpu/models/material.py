@@ -13,6 +13,7 @@ import dataclasses
 from typing import NamedTuple, Optional, Sequence
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 
 from .vec import Color
@@ -100,7 +101,8 @@ def load_texture(path: str) -> Optional[np.ndarray]:
     return np.asarray(img, dtype=np.uint8)
 
 
-class TextureBank(NamedTuple):
+@jax.tree_util.register_pytree_node_class
+class TextureBank:
     """Stacked, zero-padded texture atlas: ``data (T, Hmax, Wmax, 3)`` u8 with
     per-texture true sizes. Lives in HBM; lookups gather per-hit texels.
 
@@ -109,12 +111,29 @@ class TextureBank(NamedTuple):
     sample needs ONE gather of 12 channels instead of four 3-channel gathers.
     This is what makes the deferred texture pass behind the fused Pallas
     kernel (ops/pallas_trace.py) cheap: per texture-hit slot, exactly one
-    XLA gather against ``packed``."""
+    XLA gather against ``packed``.
 
-    data: jnp.ndarray  # (T, Hmax, Wmax, 3) uint8
-    heights: jnp.ndarray  # (T,) int32
-    widths: jnp.ndarray  # (T,) int32
-    packed: jnp.ndarray  # (T, Hmax, Wmax, 12) uint8
+    ``n_taps`` is STATIC pytree aux (1 when no textured material uses
+    bilinear filtering — the reference's default (render.rs:59-63) — else
+    4): the fused kernels read it at trace time and pack/gather only the
+    taps the scene can ever blend, quartering the in-kernel chunk gather's
+    work for nearest-only scenes. The jnp path keeps using the full
+    12-channel ``packed``."""
+
+    def __init__(self, data, heights, widths, packed, n_taps: int = 4):
+        self.data = data
+        self.heights = heights
+        self.widths = widths
+        self.packed = packed
+        self.n_taps = int(n_taps)
+
+    def tree_flatten(self):
+        return ((self.data, self.heights, self.widths, self.packed),
+                self.n_taps)
+
+    @classmethod
+    def tree_unflatten(cls, aux, children):
+        return cls(*children, n_taps=aux)
 
 
 class MaterialTable(NamedTuple):
@@ -172,8 +191,13 @@ def build_material_table(specs: Sequence[MaterialSpec]):
             packed[i, :h, :w, 9:12] = t[yp][:, xp]  # (x+1, y+1)
             hs.append(h)
             ws.append(w)
+        any_bilinear = any(
+            s.texture is not None and s.texture_filter == FILTER_BILINEAR
+            for s in specs
+        )
         bank = TextureBank(jnp.asarray(data), i32(hs), i32(ws),
-                           jnp.asarray(packed))
+                           jnp.asarray(packed),
+                           n_taps=4 if any_bilinear else 1)
 
     table = MaterialTable(
         diffuse=Color(*(f32([s.diffuse[c] for s in specs]) for c in range(3))),

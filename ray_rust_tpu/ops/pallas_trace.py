@@ -92,6 +92,16 @@ _KERNEL_OBJECT_MAX = 512
 _TEXTURE_CHUNK = 128
 _TEXTURE_CHUNK_MAX = 2048
 _TEXTURE_UNROLL_MAX = 192
+# Chunks visited per trip of the while-loop gather (one dynamic
+# (GROUP, 128) load + GROUP static row selects per tap) — amortizes the
+# per-trip min-scan/bookkeeping for atlas-scattered (horizon) tiles.
+# Swept on-chip on the textured-1080p default scene (1-tap): forward
+# 8 -> 23.9 ms, 16 -> 17.4, 32 -> 13.3, 64 -> 12.0, 128 -> 10.9 device —
+# BUT the site-backward kernel's record phase falls off a VMEM cliff past
+# 32 (fwd+bwd single-dispatch: G=16 51 ms, G=32 43.9, G=64 14,110 — the
+# reverse sweep's live set plus the group row buffer spills); 32 is the
+# joint optimum.
+_TEXTURE_GROUP = 32
 
 
 def pallas_supported(scene: Scene, cfg: RenderConfig) -> bool:
@@ -187,17 +197,28 @@ def _pack_textures(scene: Scene):
     per_tex_chunks = -(-per_tex_texels // _TEXTURE_CHUNK)
     pad = per_tex_chunks * _TEXTURE_CHUNK - per_tex_texels
 
+    # nearest-only scenes (bank.n_taps == 1, static aux) pack only p00 —
+    # the chunk loop then does a quarter of the gathers
+    n_taps = getattr(bank, "n_taps", 4)
     quads = bank.packed.astype(jnp.int32).reshape(t, per_tex_texels, 4, 3)
+    if n_taps == 1:
+        quads = quads[:, :, :1, :]
     words = (
         quads[..., 0] | (quads[..., 1] << 8) | (quads[..., 2] << 16)
     ).astype(jnp.float32)
     if pad:
         words = jnp.pad(words, ((0, 0), (0, pad), (0, 0)))
-    # (t, chunks, 128, 4) -> (4, t*chunks, 128)
-    tbl = words.reshape(t, per_tex_chunks, _TEXTURE_CHUNK, 4)
+    # (t, chunks, 128, n_taps) -> (n_taps, t*chunks, 128)
+    tbl = words.reshape(t, per_tex_chunks, _TEXTURE_CHUNK, n_taps)
     tbl = jnp.transpose(tbl, (3, 0, 1, 2)).reshape(
-        4, t * per_tex_chunks, _TEXTURE_CHUNK
+        n_taps, t * per_tex_chunks, _TEXTURE_CHUNK
     )
+    # pad the chunk axis to the group-visitation stride so the kernel's
+    # dynamic (GROUP, 128) loads never run off the table
+    total = t * per_tex_chunks
+    gpad = -total % _TEXTURE_GROUP
+    if gpad:
+        tbl = jnp.pad(tbl, ((0, 0), (0, gpad), (0, 0)))
 
     # texture id -> filter of its owner material. build_material_table
     # assigns a unique texture id per material, but guard against shared ids
@@ -490,7 +511,15 @@ class _KernelScene:
             ix = jnp.where(bilin, iu, nx)
             iy = jnp.where(bilin, iv, ny)
 
-            flat = base + iy * np.int32(wmax) + ix
+            # Defensive clamp: ix/iy are imod-bounded for any finite input,
+            # but horizon-grazing hits reach t ~ 1e38 and the f32->i32
+            # conversions feeding them are target-defined on overflow —
+            # garbage indices on such (value-irrelevant, aliased-anyway)
+            # lanes must never reach the dynamic-slice/gather below
+            # (observed: an unclamped garbage index crashed the TPU worker
+            # at 320-wide configs).
+            flat = jnp.clip(base + iy * np.int32(wmax) + ix,
+                            0, np.int32(n_chunks * _TEXTURE_CHUNK - 1))
             chunk = flat // _TEXTURE_CHUNK
             pos = flat % _TEXTURE_CHUNK
 
@@ -501,10 +530,11 @@ class _KernelScene:
                      if pad_cols else pos)
 
             def gather_chunk(row_slice, sel, accs):
-                """One chunk visit: gather all four taps at ``pos`` from the
-                chunk's rows and merge them into ``accs`` where ``sel``."""
+                """One chunk visit: gather every packed tap at ``pos`` from
+                the chunk's rows and merge them into ``accs`` where
+                ``sel``."""
                 new_accs = []
-                for j in range(4):
+                for j in range(len(accs)):
                     rowb = jnp.broadcast_to(row_slice(j),
                                             (rows, _TEXTURE_CHUNK))
                     blks = []
@@ -519,7 +549,8 @@ class _KernelScene:
                     new_accs.append(jnp.where(sel, vals, accs[j]))
                 return new_accs
 
-            accs = [jnp.zeros(shape, jnp.float32) for _ in range(4)]
+            n_taps = tbl_ref.shape[0]
+            accs = [jnp.zeros(shape, jnp.float32) for _ in range(n_taps)]
 
             if n_chunks <= _TEXTURE_UNROLL_MAX:
                 for k in range(n_chunks):
@@ -528,27 +559,56 @@ class _KernelScene:
                         chunk == k, accs,
                     )
             else:
+                # GROUP-visitation loop: each trip serves one group of
+                # _TEXTURE_GROUP adjacent chunks with a single dynamic
+                # (GROUP, 128) load per tap and static inner row selects.
+                # Near tiles (spatially coherent texels) finish in a trip;
+                # horizon tiles whose wrapped texels scatter across the
+                # whole atlas approach the static full sweep's per-chunk
+                # cost instead of paying the min-scan + dynamic single-row
+                # load every chunk (measured on the textured 1080p default
+                # scene: chunk-at-a-time loop 84 ms/frame device, static
+                # 512-chunk sweep 50; this loop + 1-tap packing 12.0).
                 big = jnp.int32(np.int32(2**31 - 1))
-                resolved0 = jnp.where(want, 0, 1).astype(jnp.int32)
+                grp = chunk // _TEXTURE_GROUP
+                sub = chunk - grp * _TEXTURE_GROUP
+                pending0 = jnp.where(want, grp, big)
 
                 def cond(state):
-                    return jnp.min(state[0]) == 0
+                    return jnp.min(state[0]) < big
+
+                n_groups = n_chunks // _TEXTURE_GROUP
 
                 def body(state):
-                    resolved = state[0]
-                    unres = resolved == 0
-                    cur = jnp.min(jnp.where(unres, chunk, big))
-                    sel = unres & (chunk == cur)
-                    new_accs = gather_chunk(
-                        lambda j: tbl_ref[j, pl.dslice(cur, 1), :],
-                        sel, list(state[1:]),
-                    )
-                    return (resolved + sel.astype(jnp.int32),
-                            *new_accs)
+                    pending = state[0]
+                    cur_raw = jnp.min(pending)
+                    # second bound on the dynamic load's origin (cur_raw is
+                    # already clamped transitively via ``flat``)
+                    cur = jnp.clip(cur_raw, 0, np.int32(n_groups - 1))
+                    sel = pending == cur_raw
+                    new_accs = list(state[1:])
+                    rows = [
+                        tbl_ref[j, pl.dslice(cur * _TEXTURE_GROUP,
+                                             _TEXTURE_GROUP), :]
+                        for j in range(n_taps)
+                    ]
+                    for r in range(_TEXTURE_GROUP):
+                        selr = sel & (sub == jnp.int32(r))
+                        new_accs = gather_chunk(
+                            lambda j, r=r: rows[j][r:r + 1, :],
+                            selr, new_accs,
+                        )
+                    return (jnp.where(sel, big, pending), *new_accs)
 
-                out = lax.while_loop(cond, body, (resolved0, *accs))
+                out = lax.while_loop(cond, body, (pending0, *accs))
                 accs = list(out[1:])
 
+            if len(accs) == 1:
+                # nearest-only scene (TextureBank.n_taps == 1): only p00 was
+                # packed/gathered; duplicate it so the return layout (and
+                # _tex_blend) stay uniform — bilin is statically false for
+                # every lane, so the duplicated taps are never blended.
+                accs = accs * 4
             return (*accs, wf, hf, bilin.astype(jnp.int32))
 
         zeros_f = jnp.zeros(shape, jnp.float32)
