@@ -125,6 +125,19 @@ class RenderConfig:
     # semantics, cost proportional to the chunks a tile actually touches.
     # False sends textured scenes to the jnp path.
     pallas_textures: bool = True
+    # Per-tile object prefilter for the fori_loop (>64 object) regime: at
+    # kernel start each tile tests every sphere against its exact view
+    # pyramid (4 planes through the camera spanned by the tile's corner
+    # rays) and records survivors in an SMEM candidate list; the primary
+    # raycast/gather then scan candidates instead of all N objects. A
+    # second, relaxed list (planes the light direction does not violate)
+    # serves the primary shadow rays, whose reachable region is the view
+    # pyramid swept along the light. Conservative by construction — floors
+    # always pass, and a sphere is culled only when it provably misses
+    # every ray the tile can generate — so the min-reduce result is
+    # identical. The TPU-native BVH-lite the reference's brute-force scan
+    # lacks (render.rs:993-1018).
+    pallas_prefilter: bool = True
     # Tile-level divergence skip inside the fused trace kernel: wrap the
     # refraction sub-trace and bounces >1 in a 0/1-trip while_loop
     # (_tile_cond) so a tile whose lanes are all dead (no transparent hit /

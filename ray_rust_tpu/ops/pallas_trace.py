@@ -298,23 +298,38 @@ class _KernelScene:
         )
 
     # -- nearest hit (render.rs:993-1018) ------------------------------------
-    def raycast(self, vi: Vec3, eye: Vec3, ig, flags):
+    def raycast(self, vi: Vec3, eye: Vec3, ig, flags, cand=None):
+        """``cand=(cand_ref, count)`` restricts the fori_loop regime's scan
+        to a per-tile candidate list (see :func:`_build_candidates`) — the
+        TPU-native BVH-lite the reference's brute-force scan lacks
+        (render.rs:993-1018). The list is conservative (every object any of
+        the tile's rays could hit is present), so the min-reduce result is
+        identical."""
         t = jnp.full(vi.shape, _BIG, jnp.float32)
         idx = jnp.zeros(vi.shape, jnp.int32)
 
         def one(i, o, t, idx):
-            cand = object_candidate_t(
+            cand_t = object_candidate_t(
                 o["kind"], o["org"], o["radius"], o["normal"], vi, eye, t,
                 flags
             )
-            cand = jnp.where(i == ig, _BIG, cand)
-            closer = cand < t
-            return jnp.where(closer, cand, t), jnp.where(closer, i, idx)
+            cand_t = jnp.where(i == ig, _BIG, cand_t)
+            closer = cand_t < t
+            return jnp.where(closer, cand_t, t), jnp.where(closer, i, idx)
 
         if self.unrolled:
             for i, o in enumerate(self.objs):
                 t, idx = one(jnp.int32(i), o, t, idx)
             return t, idx
+
+        if cand is not None:
+            cref, cnt = cand
+
+            def cbody(k, carry):
+                i = cref[k]
+                return one(i, self._obj_at(i), *carry)
+
+            return lax.fori_loop(0, cnt, cbody, (t, idx))
 
         def body(i, carry):
             return one(i, self._obj_at(i), *carry)
@@ -322,10 +337,13 @@ class _KernelScene:
         return lax.fori_loop(0, self.n, body, (t, idx))
 
     # -- per-hit field fetch (replaces ops/gather.py) ------------------------
-    def gather_raw(self, idx) -> dict:
+    def gather_raw(self, idx, cand=None) -> dict:
         """All per-object fields of the hit object as a dict of tile arrays
         (includes radius/glow_dist/tid, which :class:`HitFields` drops) —
-        the site-reparameterized backward records these (ops/pallas_bwd.py)."""
+        the site-reparameterized backward records these (ops/pallas_bwd.py).
+        ``cand`` as in :meth:`raycast`: when ``idx`` came from a
+        candidate-restricted raycast, only candidates (plus the default 0)
+        can appear in it."""
         shape = jnp.shape(idx)
 
         if self.unrolled:
@@ -343,16 +361,21 @@ class _KernelScene:
                 lambda v: jnp.broadcast_to(v, shape), zero
             )
 
-            def body(i, out):
+            def body_i(i, out):
                 o = self._obj_at(i)
                 return jax.tree_util.tree_map(
                     lambda cur, new: jnp.where(idx == i, new, cur), out, o
                 )
 
-            out = lax.fori_loop(1, self.n, body, out)
+            if cand is not None:
+                cref, cnt = cand
+                out = lax.fori_loop(
+                    0, cnt, lambda k, o: body_i(cref[k], o), out)
+            else:
+                out = lax.fori_loop(1, self.n, body_i, out)
         return out
 
-    def gather_scalar(self, idx, f32_col: int):
+    def gather_scalar(self, idx, f32_col: int, cand=None):
         """One f32 table column of the hit object (shadow-blocker
         transparency needs 1 of the 19 fields — 19x cheaper than gather)."""
         shape = jnp.shape(idx)
@@ -365,13 +388,19 @@ class _KernelScene:
         def body(i, out):
             return jnp.where(idx == i, self.f32[i, f32_col], out)
 
+        if cand is not None:
+            cref, cnt = cand
+            return lax.fori_loop(
+                0, cnt, lambda k, o: body(cref[k], o),
+                jnp.broadcast_to(self.f32[0, f32_col], shape))
+
         return lax.fori_loop(
             1, self.n, body, jnp.broadcast_to(self.f32[0, f32_col], shape)
         )
 
-    def gather(self, idx) -> HitFields:
+    def gather(self, idx, cand=None) -> HitFields:
         shape = jnp.shape(idx)
-        out = self.gather_raw(idx)
+        out = self.gather_raw(idx, cand=cand)
         zero_i = jnp.zeros(shape, jnp.int32)
         return HitFields(
             kind=out["kind"],
@@ -706,13 +735,16 @@ def _tile_cond(pred, fn, state):
 
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
-             n: Vec3, pt: Vec3, eye: Vec3, nest: int, active=None) -> Color:
+             n: Vec3, pt: Vec3, eye: Vec3, nest: int, active=None,
+             shadow_cand=None) -> Color:
     """Kernel-side shading (render.rs:1020-1140): Lambert + Phong + shadow +
     pattern/texture + pseudo-refraction. Mirrors ops/trace.py:shading; image
     textures are fetched in-kernel (:meth:`_KernelScene.fetch_texture`).
     ``active`` (lanes whose face color is actually consumed) only gates the
     texture fetch — a tile with no live textured lane skips the chunk loop
-    outright."""
+    outright. ``shadow_cand`` restricts the shadow raycast to the tile's
+    shadow-reachable candidate list (primary sites only — reflected hit
+    points leave the pyramid the list was built from)."""
     light = ks.light
 
     light_incidence = light.dot(n)
@@ -728,9 +760,11 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
     )
 
     zero_flags = jnp.zeros(jnp.shape(pt.x), jnp.int32)
-    t_s, i_s = ks.raycast(shadow_org, light.broadcast_to(pt.shape), idx, zero_flags)
-    blocker = ks.gather(i_s)
-    lit = ~jnp.isfinite(t_s) | (blocker.transparency > 0.0)
+    t_s, i_s = ks.raycast(shadow_org, light.broadcast_to(pt.shape), idx,
+                          zero_flags, cand=shadow_cand)
+    # blocker transparency is the only field consumed (render.rs:1069-1080)
+    btrans = ks.gather_scalar(i_s, 13, cand=shadow_cand)
+    lit = ~jnp.isfinite(t_s) | (btrans > 0.0)
 
     k1 = jnp.where(lit, jnp.minimum(0.2 + diffuse_intensity, 1.0), 0.2)
     k2 = jnp.where(lit, reflection_intensity, 0.0)
@@ -788,13 +822,17 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
 
 
 def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
-              lev: int, ig, flags, active=None) -> Color:
+              lev: int, ig, flags, active=None, prim_cand=None,
+              shadow_cand=None) -> Color:
     """Kernel-side unrolled Whitted loop (render.rs:1142-1224); mirrors
     ops/trace.py:raytrace step-for-step (same terminations, same IGNORE
     guards, same miss semantics). ``active`` masks lanes whose result is
     consumed at all (refraction sub-traces pass the transparent-lane mask) —
     dead lanes' values are discarded by the caller's blend, and the mask
-    tightens the tile-level early exits and texture-fetch gates."""
+    tightens the tile-level early exits and texture-fetch gates.
+    ``prim_cand``/``shadow_cand`` (fori regime): per-tile candidate lists
+    applied to the FIRST bounce's raycast/gather/shadow only — reflected
+    rays leave the pyramid the lists were built from."""
     shape = jnp.shape(eye.x)
     fcs = Color.full(1.0, 1.0, 1.0, shape)
     ret = Color.zero(shape)
@@ -804,11 +842,11 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
         active = jnp.broadcast_to(active, shape)
     bg_fn = get_bg(cfg.bg)
 
-    def make_step(lev_i):
+    def make_step(lev_i, pcand=None, scand=None):
         def step_fn(state):
             vi, eye, flags, ig, fcs, ret, active_i = state
             active = active_i != 0  # int32 carry: see _tile_cond
-            t, idx = ks.raycast(vi, eye, ig, flags)
+            t, idx = ks.raycast(vi, eye, ig, flags, cand=pcand)
             hit = jnp.isfinite(t)
             t_safe = jnp.where(hit, t, 0.0)
             pt = vi + eye * t_safe
@@ -818,10 +856,10 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
                 # (forward no-op)
                 near = t_safe < cfg.grad_distance_cutoff
                 pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
-            fields = ks.gather(idx)
+            fields = ks.gather(idx, cand=pcand)
             n = ks.normal_at(fields, pt)
             face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i,
-                            active=active & hit)
+                            active=active & hit, shadow_cand=scand)
             ret, fcs = _accumulate(ret, fcs, face, fields.specular,
                                    active & hit, flags)
 
@@ -848,7 +886,9 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     state = (vi, eye, flags, ig, fcs, ret, active.astype(jnp.int32))
     n_iters = max(1, cfg.max_reflections - lev)
     for step in range(n_iters):
-        step_fn = make_step(lev + 1 + step)
+        step_fn = make_step(lev + 1 + step,
+                            pcand=prim_cand if step == 0 else None,
+                            scand=shadow_cand if step == 0 else None)
         if cfg.pallas_early_exit and step > 0:
             # Tile-level divergence skip for later bounces: after the first
             # bounce most tiles have no surviving lane (sky / diffuse-only
@@ -913,33 +953,143 @@ def _tile_rays(cam_ref, cfg: RenderConfig, tile_rows: int, width: int,
     return vi, eye
 
 
+def _corner_dir(cam_ref, cfg: RenderConfig, ix, iy):
+    """Unnormalized world-space direction of the camera ray at pixel
+    (ix, iy) — scalar twin of :func:`_tile_rays`' per-lane formula."""
+    xres, yres = cfg.xres, cfg.yres
+    xfov = np.float32(cfg.xfov)
+    yfov = np.float32(cfg.resolved_yfov())
+    ex = jnp.float32(1.0)
+    ey = (ix - xres // 2).astype(jnp.float32) * (2.0 * xfov) / np.float32(xres)
+    ez = -(iy - yres // 2).astype(jnp.float32) * (2.0 * yfov) / np.float32(
+        yres)
+    qx, qy, qz, qw = (cam_ref[0, 3], cam_ref[0, 4], cam_ref[0, 5],
+                      cam_ref[0, 6])
+    rx = qy * ez - qz * ey + qw * ex
+    ry = qz * ex - qx * ez + qw * ey
+    rz = qx * ey - qy * ex + qw * ez
+    rw = -qx * ex - qy * ey - qz * ez
+    vx = ry * (-qz) - rz * (-qy) + rx * qw + rw * (-qx)
+    vy = rz * (-qx) - rx * (-qz) + ry * qw + rw * (-qy)
+    vz = rx * (-qy) - ry * (-qx) + rz * qw + rw * (-qz)
+    return (vx, vy, vz)
+
+
+def _build_candidates(ks: _KernelScene, cfg: RenderConfig, cam_ref,
+                      light_ref, tile_rows: int, tile_cols: int, row0, col0,
+                      candA_ref, candS_ref):
+    """Per-tile object prefilter (``cfg.pallas_prefilter``; fori regime).
+
+    The tile's rays all lie inside the convex pyramid over the rectangle of
+    unnormalized ray directions at the tile's four corner pixels (the
+    directions are an affine function of the pixel index, so the rectangle's
+    pyramid is EXACTLY the set of positive ray directions). A sphere lying
+    strictly more than its radius outside any of the pyramid's four planes
+    (all through the camera) intersects no tile ray — cull it. Floors are
+    always kept.
+
+    Two SMEM candidate lists are written:
+    * ``candA`` — primary-visible set (all four planes);
+    * ``candS`` — shadow-reachable set: shadow rays start on primary hit
+      points (inside the pyramid) and travel along the light direction L,
+      so their reachable region is the pyramid swept by [0,inf)*L. A
+      halfspace {n.x >= 0} containing the pyramid still contains the swept
+      region iff n.L >= 0 (the translate only increases n.x); only those
+      planes cull.
+
+    Returns ``(countA, countS)`` as traced scalars. The unconditional-store
+    trick keeps the loop branch-free: slot ``n`` is always written, and the
+    cursor only advances past survivors."""
+    c0 = jnp.int32(col0)
+    r0 = jnp.int32(row0)
+    corners = [
+        _corner_dir(cam_ref, cfg, c0, r0),
+        _corner_dir(cam_ref, cfg, c0 + (tile_cols - 1), r0),
+        _corner_dir(cam_ref, cfg, c0 + (tile_cols - 1),
+                    r0 + (tile_rows - 1)),
+        _corner_dir(cam_ref, cfg, c0, r0 + (tile_rows - 1)),
+    ]
+    vc = tuple(sum(c[k] for c in corners) for k in range(3))
+    lx, ly, lz = light_ref[0, 0], light_ref[0, 1], light_ref[0, 2]
+
+    planes = []
+    for a, b in zip(corners, corners[1:] + corners[:1]):
+        nx = a[1] * b[2] - a[2] * b[1]
+        ny = a[2] * b[0] - a[0] * b[2]
+        nz = a[0] * b[1] - a[1] * b[0]
+        s = nx * vc[0] + ny * vc[1] + nz * vc[2]
+        flip = jnp.where(s < 0.0, jnp.float32(-1.0), jnp.float32(1.0))
+        nx, ny, nz = nx * flip, ny * flip, nz * flip
+        inv = 1.0 / jnp.sqrt(jnp.maximum(nx * nx + ny * ny + nz * nz, 1e-30))
+        nx, ny, nz = nx * inv, ny * inv, nz * inv
+        keep_s = (nx * lx + ny * ly + nz * lz) >= 0.0
+        planes.append((nx, ny, nz, keep_s))
+
+    camx, camy, camz = cam_ref[0, 0], cam_ref[0, 1], cam_ref[0, 2]
+    f, g = ks.f32, ks.i32
+
+    def body(i, carry):
+        nA, nS = carry
+        dx = f[i, 0] - camx
+        dy = f[i, 1] - camy
+        dz = f[i, 2] - camz
+        r = f[i, 17]
+        outA = jnp.bool_(False)
+        outS = jnp.bool_(False)
+        for nx, ny, nz, keep_s in planes:
+            out_i = (nx * dx + ny * dy + nz * dz) < -r
+            outA = outA | out_i
+            outS = outS | (out_i & keep_s)
+        is_floor = g[i, 0] != KIND_SPHERE
+        keepA = is_floor | ~outA
+        keepS = is_floor | ~outS
+        candA_ref[nA] = i
+        candS_ref[nS] = i
+        return (nA + keepA.astype(jnp.int32), nS + keepS.astype(jnp.int32))
+
+    return lax.fori_loop(0, ks.n, body, (jnp.int32(0), jnp.int32(0)))
+
+
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
-                 tile_cols: int, col_grid: bool, tex_meta=None):
+                 tile_cols: int, col_grid: bool, tex_meta=None,
+                 prefilter: bool = False):
     """Kernel body: generate this tile's camera rays (render.rs:808-815) and
     trace them to completion without leaving VMEM. ``org_ref`` carries the
     caller's global pixel origin (nonzero when this launch renders one
     device's shard of a mesh-partitioned image — parallel/shard.py).
     ``tex_meta = (n_textures, wmax)`` adds the texture chunk-table inputs
-    (see :func:`_pack_textures`) for in-kernel texture fetch."""
+    (see :func:`_pack_textures`) for in-kernel texture fetch. ``prefilter``
+    (fori regime) adds two SMEM scratch candidate lists filled by
+    :func:`_build_candidates` at tile start."""
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, *rest):
         shape = (tile_rows, tile_cols)
         if tex_meta is not None:
             tbl_ref, meta_ref = rest[0], rest[1]
             tex = (tbl_ref, meta_ref) + tex_meta
-            r_ref, g_ref, b_ref = rest[2:5]
+            rest = rest[2:]
         else:
             tex = None
-            r_ref, g_ref, b_ref = rest[0:3]
+        r_ref, g_ref, b_ref = rest[0:3]
         ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects, tex=tex)
         row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
         row0 = row0 + org_ref[0, 0]
         col0 = col0 + org_ref[0, 1]
         vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
 
+        prim_cand = shadow_cand = None
+        if prefilter:
+            candA_ref, candS_ref = rest[3], rest[4]
+            nA, nS = _build_candidates(ks, cfg, cam_ref, light_ref,
+                                       tile_rows, tile_cols, row0, col0,
+                                       candA_ref, candS_ref)
+            prim_cand = (candA_ref, nA)
+            shadow_cand = (candS_ref, nS)
+
         ig = jnp.full(shape, -1, jnp.int32)
         flags = jnp.zeros(shape, jnp.int32)
-        out = _raytrace(ks, cfg, vi, eye, 0, ig, flags)
+        out = _raytrace(ks, cfg, vi, eye, 0, ig, flags,
+                        prim_cand=prim_cand, shadow_cand=shadow_cand)
 
         r_ref[:] = out.r
         g_ref[:] = out.g
@@ -1021,7 +1171,9 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
                     scene.textures.data.shape[2])
         in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM), smem()]
         inputs += [tbl, meta]
-    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid, tex_meta)
+    prefilter = cfg.pallas_prefilter and n > _KERNEL_UNROLL_MAX
+    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid, tex_meta,
+                          prefilter=prefilter)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     r, g, b = pl.pallas_call(
@@ -1030,6 +1182,9 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
         in_specs=in_specs,
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
+        scratch_shapes=(
+            [pltpu.SMEM((n,), jnp.int32)] * 2 if prefilter else []
+        ),
         interpret=interpret,
     )(*inputs)
 

@@ -135,6 +135,54 @@ def test_pallas_march_matches_jnp():
     _compare(ref, got, frac_budget=0.05, mean_tol=0.03)
 
 
+def test_pallas_prefilter_bit_equal():
+    """Per-tile object prefilter (cfg.pallas_prefilter, fori regime): the
+    candidate-restricted raycast/gather/shadow must be BIT-IDENTICAL to the
+    full scan — the cull is conservative-exact, not approximate. Scene
+    includes spheres behind the camera, far off-frustum, and straddling
+    tile boundaries; the non-axis-aligned camera exercises the rotated
+    pyramid planes."""
+    rng = np.random.default_rng(17)
+    mats = [rt.MaterialSpec(name="floor", diffuse=(1.0, 1.0, 0.0))] + [
+        rt.MaterialSpec(name=f"m{i}", diffuse=tuple(rng.uniform(0.2, 1.0, 3)),
+                        specular=(0.3, 0.3, 0.3), pn=8)
+        for i in range(4)
+    ]
+    objs = [rt.FloorSpec("floor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0))]
+    # in-frustum cluster
+    objs += [
+        rt.SphereSpec(f"m{int(rng.integers(4))}", float(rng.uniform(20, 60)),
+                      tuple(rng.uniform(-400, 400, 3)
+                            * np.array([1, 0.3, 1])
+                            + np.array([0, -150, 400])))
+        for _ in range(40)
+    ]
+    # behind the camera and far off to the sides
+    objs += [
+        rt.SphereSpec("m0", 50.0, (0.0, -150.0, -900.0)),
+        rt.SphereSpec("m1", 50.0, (3000.0, -150.0, 100.0)),
+        rt.SphereSpec("m2", 50.0, (-3000.0, 500.0, 100.0)),
+    ] + [
+        rt.SphereSpec(f"m{int(rng.integers(4))}", float(rng.uniform(20, 60)),
+                      tuple(rng.uniform(-3000, 3000, 3)
+                            * np.array([1, 0.3, 1])
+                            + np.array([0, -150, -1200])))
+        for _ in range(24)
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (7.0, -150.0, -300.0), (0.1, -np.pi / 2 + 0.2,
+                                            -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    assert scene.objects.count == 68  # fori regime (> 64)
+    cfg = rt.RenderConfig(xres=64, yres=32, max_reflections=2,
+                          refraction_unroll=1)
+    on = _img_np(render_color_pallas(scene, cfg, interpret=True))
+    off = _img_np(render_color_pallas(
+        scene, cfg.with_(pallas_prefilter=False), interpret=True))
+    np.testing.assert_array_equal(on, off)
+
+
 # ---------------------------------------------------------------------------
 # March floor-tail shortcut (cfg.march_floor_skip, ops/pallas_march.py:
 # _floor_tail). The shortcut changes the kernel's arithmetic on every
