@@ -1031,6 +1031,16 @@ def render_color_pallas_march_grads(scene: Scene, cfg: RenderConfig,
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
+    # Smaller record-phase step chunk than the forward's: Mosaic compile
+    # time scales with the total unrolled while-body size, and the record
+    # phase instantiates a chunk-unrolled march per site (~10 sites) — the
+    # forward-tuned 32 put the kernel at ~83 s cold compile (VERDICT r4
+    # #9). 16 compiles in ~half with ~equal step time (the floor tail, not
+    # the chunk, resolves the long tails). Chunking only regroups steps;
+    # recorded values match the forward up to knife-edge phasing, which the
+    # masked-agreement tests already budget for.
+    cfg = cfg.with_(pallas_march_chunk=min(cfg.pallas_march_chunk, 16))
+
     h, w = cfg.yres, cfg.xres
     tile_rows = cfg.pallas_rows
     # phase 1's marches dominate — tile like the forward march kernel
