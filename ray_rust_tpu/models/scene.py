@@ -206,7 +206,7 @@ def build_scene(
     return scene, meta
 
 
-def default_scene(texture_dir: str = "."):
+def default_scene(texture_dir: str = ".", texture_filter: int = 0):
     """The reference's built-in scene, exactly (src/main.rs:154-276):
 
     materials: floor (yellow RepeatedGradation, pattern_scale 300, angle 0.2,
@@ -215,6 +215,9 @@ def default_scene(texture_dir: str = "."):
     objects: floor plane y=-300 (uv ZX), two mirror spheres r=80, red sphere
     r=80, glass sphere r=100; camera (0,-150,-300) pyr (0,-π/2,-π/2); light
     (50,60,-50) normalized.
+
+    ``texture_filter`` applies to the optional floor texture (0 = Nearest,
+    the reference's default, render.rs:59-63; 1 = Bilinear).
     """
     import os
 
@@ -231,6 +234,7 @@ def default_scene(texture_dir: str = "."):
         pattern=PATTERN_GRADATION,
         pattern_scale=300.0,
         pattern_angle_scale=0.2,
+        texture_filter=texture_filter,
     ).texture_ok(os.path.join(texture_dir, "bar.png"))
     mirror = MaterialSpec(
         name="mirror",
