@@ -78,3 +78,39 @@ def test_frame_writer_reports_errors(tmp_path):
         w.submit(str(tmp_path / "no_such_dir" / "f.png"),
                  np.zeros((4, 4, 3), np.uint8))
         assert w.drain() == 1
+
+
+def test_baseline_ref_matches_oracle_golden(tmp_path):
+    """The C++ baseline stand-in (native/baseline_ref.cpp — bench.py's
+    measured `vs_baseline` source) must render the default scene like the
+    Python oracle: a second, independent-language implementation of the
+    reference's semantics pinning the checked-in golden. Budget matches the
+    golden tests (knife-edge horizon/silhouette pixels flip between any two
+    f32 op orderings)."""
+    import json
+    import shutil
+    import subprocess
+
+    if shutil.which("g++") is None:
+        pytest.skip("g++ unavailable")
+    root = os.path.join(os.path.dirname(__file__), "..")
+    src = os.path.join(root, "native", "baseline_ref.cpp")
+    exe = str(tmp_path / "baseline_ref")
+    subprocess.run(
+        ["g++", "-O2", "-std=c++17", "-o", exe, src, "-lpthread"],
+        check=True, capture_output=True, timeout=300,
+    )
+    dump = str(tmp_path / "out.f32")
+    out = subprocess.run(
+        [exe, "320", "240", "2", "--dump", dump],
+        check=True, capture_output=True, text=True, timeout=300,
+    )
+    stats = json.loads(out.stdout)
+    assert stats["w"] == 320 and stats["primary_mrays"] > 0
+    img = np.fromfile(dump, np.float32).reshape(240, 320, 3)
+    golden = np.load(os.path.join(os.path.dirname(__file__), "goldens",
+                                  "default_trace_320x240.npz"))["img"]
+    diff = np.abs(img - golden)
+    bad = (diff.max(-1) > 1e-3).mean()
+    assert bad <= 0.02, f"{bad:.2%} pixels differ from the oracle golden"
+    assert diff.mean() <= 0.01
