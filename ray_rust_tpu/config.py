@@ -89,7 +89,13 @@ class RenderConfig:
     # (interpret-mode kernels are slower than XLA:CPU). pallas_rows is the
     # tile height (sublane-aligned multiples of 8).
     use_pallas: Optional[bool] = None
-    pallas_rows: int = 8
+    # Row-tile height for the TRACE kernels. Swept on-chip at 1080p (r5):
+    # fwd 16x256 = 4.05-4.13 ms vs 4.38 at 8x256; with the backward's
+    # column tile halved to keep its live set constant (16x128), the
+    # fwd+bwd headline lands at 11.2 vs 11.6 ms. March keeps its own 8-row
+    # tiles (pallas_march_rows) — its any()-gated lap bodies lose more to
+    # wider tiles than the grid overhead saves (12.3 -> 24.9 ms at 16).
+    pallas_rows: int = 16
     # Column-tile width for the FORWARD kernels (trace + march). Narrower
     # tiles bound each tile's worst lane: the tile-level early exit and the
     # march while_loop run to the slowest lane in the tile, so column tiling
@@ -104,19 +110,17 @@ class RenderConfig:
     # 256/8 (r4 BENCH_NOTES).
     pallas_march_cols: int = 128
     pallas_march_chunk: int = 32
-    # Closed-form floor-tail shortcut in the march kernel: once a lane's
-    # nearest object is a floor and every other object provably stays
-    # farther than the floor over the WHOLE remaining tail (exact convex
-    # bound per object over the tail's travel range — see
-    # ops/pallas_march.py:_floor_tail), the remaining sphere-tracing tail is
-    # a geometric sequence h_k = h*rho^k (rho = 1 + e.n) whose stop step,
-    # travel sum, final state and sampled glow minimum (unimodal distance ->
-    # argmin neighbors + endpoints) all have closed forms — the lane
-    # finishes in O(1) instead of up to MAX_ITER=10000 steps (the horizon
-    # tail is ~half of march wall time, measured r4). Values match the
-    # step-by-step loop up to f32 rounding (the closed form is better
-    # conditioned than 10^3-step accumulation). Kernel-only; the jnp path
-    # stays the exact oracle.
+    pallas_march_rows: int = 8
+    # Closed-form floor-tail shortcut in the march kernel: while a lane's
+    # nearest object is a floor, the remaining evaluations form a geometric
+    # sequence h_k = h*rho^k (rho = 1 + e.n) whose stop step, travel sum,
+    # final state and sampled glow minimum all have closed forms; the tail
+    # is resolved up to the first travel offset where another object would
+    # tie the floor as SDF winner (exact quadratic/linear roots — see
+    # ops/pallas_march.py:_floor_tail), so interrupted lanes FAST-FORWARD
+    # instead of crawling. Values match the step-by-step loop up to f32
+    # rounding on every branch. Kernel-only; the jnp path stays the exact
+    # oracle.
     march_floor_skip: bool = True
     # In-kernel image textures for the fused trace kernel: the
     # neighborhood-packed atlas rides in VMEM as 128-texel chunks and each
@@ -167,8 +171,9 @@ class RenderConfig:
     # tile must be bounded in both dimensions: a full 1920-wide row tile
     # spills ~140MB of f32 state (>16MB VMEM). 256 measured fastest for the
     # site backward at 1080p (12.50 ms/step chained fwd+bwd vs 13.56 at 512);
-    # the round-3 re-trace backward preferred 384. None/0 = full image width.
-    pallas_bwd_cols: int = 256
+    # the round-3 re-trace backward preferred 384. None/0 = full image
+    # width. r5: 128 at the new 16-row trace tiles (same live-set area).
+    pallas_bwd_cols: int = 128
 
     # Rematerialize each bounce step in the backward pass (recompute instead
     # of storing every (H, W) intermediate — the unrolled trace is otherwise

@@ -1042,8 +1042,8 @@ def render_color_pallas_march_grads(scene: Scene, cfg: RenderConfig,
     cfg = cfg.with_(pallas_march_chunk=min(cfg.pallas_march_chunk, 16))
 
     h, w = cfg.yres, cfg.xres
-    tile_rows = cfg.pallas_rows
     # phase 1's marches dominate — tile like the forward march kernel
+    tile_rows = cfg.pallas_march_rows
     tile_cols = min(cfg.pallas_march_cols, w) if cfg.pallas_march_cols else w
     h_pad = ((h + tile_rows - 1) // tile_rows) * tile_rows
     w_pad = ((w + tile_cols - 1) // tile_cols) * tile_cols

@@ -828,9 +828,10 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
     from .pallas_trace import fwd_grid_spec
 
     h, w = shape if shape is not None else (cfg.yres, cfg.xres)
-    tile_rows = cfg.pallas_rows
+    tile_rows = cfg.pallas_march_rows
     grid, out_spec, (h_pad, w_pad), tile_cols, col_grid = fwd_grid_spec(
-        cfg.with_(pallas_cols=cfg.pallas_march_cols), (h, w))
+        cfg.with_(pallas_cols=cfg.pallas_march_cols,
+                  pallas_rows=cfg.pallas_march_rows), (h, w))
     n = scene.objects.count
 
     f32t, i32t, cam, light = _pack_scene(scene)
