@@ -177,6 +177,26 @@ def _pack_scene(scene: Scene):
     return f32t, i32t, cam, light
 
 
+_GATHER_COLS = _F32_COLS + _I32_COLS  # 19 f32 + 4 int-valued rows
+
+
+def _pack_gather_table(scene: Scene):
+    """Lane-major object table for the fori regime's O(1) per-hit gather:
+    ``(23, Npad)`` f32 with the object axis padded to 128-lane chunks. Rows
+    0-18 are the f32 table columns, rows 19-22 the i32 columns (kind,
+    pattern, uvmap, tid) as exactly-representable float words. One
+    ``tpu.dynamic_gather`` (via take_along_axis) per field replaces the
+    N-iteration compare-select sweep — 101-object scenes drop from ~1600
+    selects per gather site to ~23 gathers."""
+    f32t, i32t, _, _ = _pack_scene(scene)
+    tbl = jnp.concatenate([f32t, i32t.astype(jnp.float32)], axis=1)  # (N, 23)
+    n = tbl.shape[0]
+    npad = -(-n // 128) * 128
+    if npad != n:
+        tbl = jnp.pad(tbl, ((0, npad - n), (0, 0)))
+    return jnp.transpose(tbl, (1, 0))  # (23, Npad)
+
+
 def _pack_textures(scene: Scene):
     """Chunk the neighborhood-packed atlas for the in-kernel gather.
 
@@ -260,10 +280,13 @@ class _KernelScene:
     be indexed dynamically)."""
 
     def __init__(self, f32_ref, i32_ref, light_ref, n_objects: int,
-                 unroll: bool | None = None, tex=None):
+                 unroll: bool | None = None, tex=None, gtbl=None):
         self.n = n_objects
         self.f32 = f32_ref
         self.i32 = i32_ref
+        # (23, Npad) lane-major object table for O(1) fori-regime gathers
+        # (see _pack_gather_table); None outside the forward fori kernels
+        self.gtbl = gtbl
         self.light = Vec3(light_ref[0, 0], light_ref[0, 1], light_ref[0, 2])
         self.unrolled = (n_objects <= _KERNEL_UNROLL_MAX if unroll is None
                          else unroll)
@@ -273,6 +296,18 @@ class _KernelScene:
         )
         # (tbl_ref, meta_ref, n_textures, wmax) from _pack_textures, or None
         self.tex = tex
+
+    def _obj_ray_at(self, i):
+        """The subset of fields the raycast consumes (kind, org, radius,
+        normal) — the fori_loop regime's scan bodies load 8 SMEM scalars per
+        object instead of _obj_at's 23."""
+        f, g = self.f32, self.i32
+        return dict(
+            org=Vec3(f[i, 0], f[i, 1], f[i, 2]),
+            normal=Vec3(f[i, 3], f[i, 4], f[i, 5]),
+            radius=f[i, 17],
+            kind=g[i, 0],
+        )
 
     def _obj_at(self, i):
         """One object's fields; ``i`` is a static int in the unrolled regime,
@@ -299,12 +334,16 @@ class _KernelScene:
 
     # -- nearest hit (render.rs:993-1018) ------------------------------------
     def raycast(self, vi: Vec3, eye: Vec3, ig, flags, cand=None):
-        """``cand=(cand_ref, count)`` restricts the fori_loop regime's scan
-        to a per-tile candidate list (see :func:`_build_candidates`) — the
-        TPU-native BVH-lite the reference's brute-force scan lacks
-        (render.rs:993-1018). The list is conservative (every object any of
-        the tile's rays could hit is present), so the min-reduce result is
-        identical."""
+        """``cand=(sph_ref, n_sph, flo_ref, n_flo)`` restricts the fori_loop
+        regime's scan to per-tile KIND-SPLIT candidate lists (see
+        :func:`_build_candidates`) — the TPU-native BVH-lite the reference's
+        brute-force scan lacks (render.rs:993-1018), with each list scanned
+        by a body specialized to its primitive's intersection math. The
+        lists are conservative (every object any relevant ray could hit is
+        present), so the min-reduce result matches the full scan; the only
+        ordering difference is that floors are processed before spheres,
+        which can flip EXACT float t-ties between a floor and a sphere
+        (measure-zero knife-edge; identical on every test scene)."""
         t = jnp.full(vi.shape, _BIG, jnp.float32)
         idx = jnp.zeros(vi.shape, jnp.int32)
 
@@ -323,18 +362,79 @@ class _KernelScene:
             return t, idx
 
         if cand is not None:
-            cref, cnt = cand
+            sph_ref, n_sph, flo_ref, n_flo = cand
+            f = self.f32
+            outonly = (flags & OUTONLY) != 0
+            inonly = (flags & INONLY) != 0
 
-            def cbody(k, carry):
-                i = cref[k]
-                return one(i, self._obj_at(i), *carry)
+            def flo_body(k, carry):
+                t, idx = carry
+                i = flo_ref[k]
+                org = Vec3(f[i, 0], f[i, 1], f[i, 2])
+                normal = Vec3(f[i, 3], f[i, 4], f[i, 5])
+                wpt = vi - org
+                w = normal.dot(eye)
+                denom = jnp.where(w < 0.0, w, -1.0)
+                t0f = -normal.dot(wpt) / denom
+                take = (w < 0.0) & (t0f >= 0.0) & (t0f < t) & (i != ig)
+                return (jnp.where(take, t0f, t), jnp.where(take, i, idx))
 
-            return lax.fori_loop(0, cnt, cbody, (t, idx))
+            def sph_body(k, carry):
+                t, idx = carry
+                i = sph_ref[k]
+                org = Vec3(f[i, 0], f[i, 1], f[i, 2])
+                radius = f[i, 17]
+                wpt = vi - org
+                b = 2.0 * eye.dot(wpt)
+                c = wpt.dot(wpt) - radius * radius
+                d2 = b * b - 4.0 * c
+                has = d2 >= F32_EPSILON
+                d = jnp.sqrt(jnp.where(has, d2, 1.0))
+                t0 = (-b - d) / 2.0
+                far = t0 + d
+                take_near = has & ~outonly & (t0 >= 0.0) & (t0 < t)
+                take_far = has & ~inonly & (far > 0.0) & (far < t)
+                cand_t = jnp.where(take_near, t0,
+                                   jnp.where(take_far, far, _BIG))
+                cand_t = jnp.where(i == ig, _BIG, cand_t)
+                closer = cand_t < t
+                return (jnp.where(closer, cand_t, t),
+                        jnp.where(closer, i, idx))
+
+            carry = lax.fori_loop(0, n_flo, flo_body, (t, idx))
+            return lax.fori_loop(0, n_sph, sph_body, carry)
 
         def body(i, carry):
-            return one(i, self._obj_at(i), *carry)
+            return one(i, self._obj_ray_at(i), *carry)
 
         return lax.fori_loop(0, self.n, body, (t, idx))
+
+    def _lane_gather(self, col: int, idx):
+        """One gather-table row picked at the per-lane object index — a
+        128-lane dynamic gather per column block instead of an N-iteration
+        compare-select sweep (``col`` is static)."""
+        ref = self.gtbl
+        rows, cols = jnp.shape(idx)
+        npad = ref.shape[1]
+        n_blk = -(-cols // 128)
+        pad_cols = n_blk * 128 - cols
+        idx_p = (jnp.pad(idx, ((0, 0), (0, pad_cols))) if pad_cols else idx)
+        acc = None
+        for ch in range(npad // 128):
+            row = ref[col, ch * 128:(ch + 1) * 128]
+            rowb = jnp.broadcast_to(jnp.reshape(row, (1, 128)), (rows, 128))
+            blks = []
+            for b in range(n_blk):
+                p = idx_p[:, b * 128:(b + 1) * 128] - jnp.int32(ch * 128)
+                g = jnp.take_along_axis(rowb, jnp.clip(p, 0, 127), axis=1)
+                if npad > 128:
+                    g = jnp.where((p >= 0) & (p < 128), g, 0.0)
+                blks.append(g)
+            vals = blks[0] if n_blk == 1 else jnp.concatenate(blks, axis=1)
+            if pad_cols:
+                vals = vals[:, :cols]
+            acc = vals if acc is None else acc + vals
+        return acc
 
     # -- per-hit field fetch (replaces ops/gather.py) ------------------------
     def gather_raw(self, idx, cand=None) -> dict:
@@ -355,6 +455,22 @@ class _KernelScene:
                     lambda cur, new: jnp.where(idx == jnp.int32(i), new, cur),
                     out, self.objs[i],
                 )
+        elif self.gtbl is not None:
+            v = [self._lane_gather(c, idx) for c in range(_GATHER_COLS)]
+
+            def iv(c):
+                return v[c].astype(jnp.int32)
+
+            out = dict(
+                org=Vec3(v[0], v[1], v[2]),
+                normal=Vec3(v[3], v[4], v[5]),
+                diffuse=Color(v[6], v[7], v[8]),
+                specular=Color(v[9], v[10], v[11]),
+                pn=v[12], transparency=v[13], refraction=v[14],
+                pattern_scale=v[15], pattern_angle_scale=v[16],
+                radius=v[17], glow_dist=v[18],
+                kind=iv(19), pattern=iv(20), uvmap=iv(21), tid=iv(22),
+            )
         else:
             zero = self._obj_at(jnp.int32(0))
             out = jax.tree_util.tree_map(
@@ -384,6 +500,9 @@ class _KernelScene:
             for i in range(1, self.n):
                 out = jnp.where(idx == jnp.int32(i), self.f32[i, f32_col], out)
             return out
+
+        if self.gtbl is not None:
+            return self._lane_gather(f32_col, idx)
 
         def body(i, out):
             return jnp.where(idx == i, self.f32[i, f32_col], out)
@@ -470,22 +589,27 @@ class _KernelScene:
                     jnp.int32(i), o, closest, idx, glowing, glow_idx)
             return closest, idx, glowing, glow_idx
 
+        def sdf_fields(i):
+            o = self._obj_ray_at(i)
+            o["glow_dist"] = self.f32[i, 18]
+            return o
+
         if not with_glow:
             def body_ng(i, carry):
-                return one(i, self._obj_at(i), *carry, None, None)[:2]
+                return one(i, sdf_fields(i), *carry, None, None)[:2]
 
             out = lax.fori_loop(0, self.n, body_ng, (closest, idx))
             return out + (None, None)
 
         if with_glow_idx:
             def body_g(i, carry):
-                return one(i, self._obj_at(i), *carry)
+                return one(i, sdf_fields(i), *carry)
 
             return lax.fori_loop(0, self.n, body_g,
                                  (closest, idx, glowing, glow_idx))
 
         def body(i, carry):
-            return one(i, self._obj_at(i), *carry, None)[:3]
+            return one(i, sdf_fields(i), *carry, None)[:3]
 
         out = lax.fori_loop(0, self.n, body, (closest, idx, glowing))
         return out + (None,)
@@ -736,7 +860,7 @@ def _tile_cond(pred, fn, state):
 
 def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
              n: Vec3, pt: Vec3, eye: Vec3, nest: int, active=None,
-             shadow_cand=None) -> Color:
+             shadow_cand=None, rest_cand=None) -> Color:
     """Kernel-side shading (render.rs:1020-1140): Lambert + Phong + shadow +
     pattern/texture + pseudo-refraction. Mirrors ops/trace.py:shading; image
     textures are fetched in-kernel (:meth:`_KernelScene.fetch_texture`).
@@ -806,12 +930,15 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
             fc2 = _tile_cond(
                 jnp.any(f > 0.0),
                 lambda _z: _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags,
-                                     active=f > 0.0),
+                                     active=f > 0.0, prim_cand=rest_cand,
+                                     shadow_cand=rest_cand,
+                                     rest_cand=rest_cand),
                 Color.zero(jnp.shape(f)),
             )
         else:
             fc2 = _raytrace(ks, cfg, pt3, ray, nest, idx, sub_flags,
-                            active=f > 0.0)
+                            active=f > 0.0, prim_cand=rest_cand,
+                            shadow_cand=rest_cand, rest_cand=rest_cand)
         blended = Color(
             (kd.r * k1 + k2) * (1.0 - f) + fc2.r * f,
             (kd.g * k1 + k2) * (1.0 - f) + fc2.g * f,
@@ -823,16 +950,19 @@ def _shading(ks: _KernelScene, cfg: RenderConfig, idx, fields: HitFields,
 
 def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
               lev: int, ig, flags, active=None, prim_cand=None,
-              shadow_cand=None) -> Color:
+              shadow_cand=None, rest_cand=None) -> Color:
     """Kernel-side unrolled Whitted loop (render.rs:1142-1224); mirrors
     ops/trace.py:raytrace step-for-step (same terminations, same IGNORE
     guards, same miss semantics). ``active`` masks lanes whose result is
     consumed at all (refraction sub-traces pass the transparent-lane mask) —
     dead lanes' values are discarded by the caller's blend, and the mask
     tightens the tile-level early exits and texture-fetch gates.
-    ``prim_cand``/``shadow_cand`` (fori regime): per-tile candidate lists
-    applied to the FIRST bounce's raycast/gather/shadow only — reflected
-    rays leave the pyramid the lists were built from."""
+    ``prim_cand``/``shadow_cand`` (fori regime): per-tile pyramid-culled
+    candidate lists applied to the FIRST bounce's raycast/shadow;
+    ``rest_cand`` (the full kind-split lists) serves every later bounce and
+    the refraction subtrees — reflected rays leave the pyramid the culled
+    lists were built from, but still benefit from the kind-specialized
+    scan."""
     shape = jnp.shape(eye.x)
     fcs = Color.full(1.0, 1.0, 1.0, shape)
     ret = Color.zero(shape)
@@ -846,7 +976,7 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
         def step_fn(state):
             vi, eye, flags, ig, fcs, ret, active_i = state
             active = active_i != 0  # int32 carry: see _tile_cond
-            t, idx = ks.raycast(vi, eye, ig, flags, cand=pcand)
+            t, idx = ks.raycast(vi, eye, ig, flags, cand=pcand)  # noqa
             hit = jnp.isfinite(t)
             t_safe = jnp.where(hit, t, 0.0)
             pt = vi + eye * t_safe
@@ -856,10 +986,11 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
                 # (forward no-op)
                 near = t_safe < cfg.grad_distance_cutoff
                 pt = pt.where(near, Vec3(*(lax.stop_gradient(c) for c in pt)))
-            fields = ks.gather(idx, cand=pcand)
+            fields = ks.gather(idx)
             n = ks.normal_at(fields, pt)
             face = _shading(ks, cfg, idx, fields, n, pt, eye, lev_i,
-                            active=active & hit, shadow_cand=scand)
+                            active=active & hit, shadow_cand=scand,
+                            rest_cand=rest_cand)
             ret, fcs = _accumulate(ret, fcs, face, fields.specular,
                                    active & hit, flags)
 
@@ -887,8 +1018,8 @@ def _raytrace(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
     n_iters = max(1, cfg.max_reflections - lev)
     for step in range(n_iters):
         step_fn = make_step(lev + 1 + step,
-                            pcand=prim_cand if step == 0 else None,
-                            scand=shadow_cand if step == 0 else None)
+                            pcand=prim_cand if step == 0 else rest_cand,
+                            scand=shadow_cand if step == 0 else rest_cand)
         if cfg.pallas_early_exit and step > 0:
             # Tile-level divergence skip for later bounces: after the first
             # bounce most tiles have no surviving lane (sky / diffuse-only
@@ -977,7 +1108,7 @@ def _corner_dir(cam_ref, cfg: RenderConfig, ix, iy):
 
 def _build_candidates(ks: _KernelScene, cfg: RenderConfig, cam_ref,
                       light_ref, tile_rows: int, tile_cols: int, row0, col0,
-                      candA_ref, candS_ref):
+                      sphA_ref, sphS_ref, sphF_ref, flo_ref):
     """Per-tile object prefilter (``cfg.pallas_prefilter``; fori regime).
 
     The tile's rays all lie inside the convex pyramid over the rectangle of
@@ -988,18 +1119,22 @@ def _build_candidates(ks: _KernelScene, cfg: RenderConfig, cam_ref,
     (all through the camera) intersects no tile ray — cull it. Floors are
     always kept.
 
-    Two SMEM candidate lists are written:
-    * ``candA`` — primary-visible set (all four planes);
-    * ``candS`` — shadow-reachable set: shadow rays start on primary hit
+    Four SMEM candidate lists are written (KIND-SPLIT so the raycast scans
+    each with a body specialized to its primitive):
+    * ``sphA`` — primary-visible spheres (all four planes);
+    * ``sphS`` — shadow-reachable spheres: shadow rays start on primary hit
       points (inside the pyramid) and travel along the light direction L,
       so their reachable region is the pyramid swept by [0,inf)*L. A
       halfspace {n.x >= 0} containing the pyramid still contains the swept
       region iff n.L >= 0 (the translate only increases n.x); only those
       planes cull.
+    * ``sphF`` — ALL spheres (reflection bounces leave the pyramid, so
+      later laps scan the full kind-split lists);
+    * ``flo`` — all floors (never culled).
 
-    Returns ``(countA, countS)`` as traced scalars. The unconditional-store
-    trick keeps the loop branch-free: slot ``n`` is always written, and the
-    cursor only advances past survivors."""
+    Returns ``(nA, nS, nF, n_flo)`` as traced scalars. The
+    unconditional-store trick keeps the loop branch-free: slot ``n`` is
+    always written, and the cursor only advances past survivors."""
     c0 = jnp.int32(col0)
     r0 = jnp.int32(row0)
     corners = [
@@ -1029,7 +1164,7 @@ def _build_candidates(ks: _KernelScene, cfg: RenderConfig, cam_ref,
     f, g = ks.f32, ks.i32
 
     def body(i, carry):
-        nA, nS = carry
+        nA, nS, nF, nfl = carry
         dx = f[i, 0] - camx
         dy = f[i, 1] - camy
         dz = f[i, 2] - camz
@@ -1040,19 +1175,26 @@ def _build_candidates(ks: _KernelScene, cfg: RenderConfig, cam_ref,
             out_i = (nx * dx + ny * dy + nz * dz) < -r
             outA = outA | out_i
             outS = outS | (out_i & keep_s)
-        is_floor = g[i, 0] != KIND_SPHERE
-        keepA = is_floor | ~outA
-        keepS = is_floor | ~outS
-        candA_ref[nA] = i
-        candS_ref[nS] = i
-        return (nA + keepA.astype(jnp.int32), nS + keepS.astype(jnp.int32))
+        is_sph = g[i, 0] == KIND_SPHERE
+        keepA = is_sph & ~outA
+        keepS = is_sph & ~outS
+        sphA_ref[nA] = i
+        sphS_ref[nS] = i
+        sphF_ref[nF] = i
+        flo_ref[nfl] = i
+        return (nA + keepA.astype(jnp.int32),
+                nS + keepS.astype(jnp.int32),
+                nF + is_sph.astype(jnp.int32),
+                nfl + (~is_sph).astype(jnp.int32))
 
-    return lax.fori_loop(0, ks.n, body, (jnp.int32(0), jnp.int32(0)))
+    return lax.fori_loop(
+        0, ks.n, body,
+        (jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0)))
 
 
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
                  tile_cols: int, col_grid: bool, tex_meta=None,
-                 prefilter: bool = False):
+                 prefilter: bool = False, use_gtbl: bool = False):
     """Kernel body: generate this tile's camera rays (render.rs:808-815) and
     trace them to completion without leaving VMEM. ``org_ref`` carries the
     caller's global pixel origin (nonzero when this launch renders one
@@ -1064,6 +1206,10 @@ def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
 
     def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, *rest):
         shape = (tile_rows, tile_cols)
+        gtbl = None
+        if use_gtbl:
+            gtbl = rest[0]
+            rest = rest[1:]
         if tex_meta is not None:
             tbl_ref, meta_ref = rest[0], rest[1]
             tex = (tbl_ref, meta_ref) + tex_meta
@@ -1071,25 +1217,28 @@ def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
         else:
             tex = None
         r_ref, g_ref, b_ref = rest[0:3]
-        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects, tex=tex)
+        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects, tex=tex,
+                          gtbl=gtbl)
         row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
         row0 = row0 + org_ref[0, 0]
         col0 = col0 + org_ref[0, 1]
         vi, eye = _tile_rays(cam_ref, cfg, tile_rows, tile_cols, row0, col0)
 
-        prim_cand = shadow_cand = None
+        prim_cand = shadow_cand = rest_cand = None
         if prefilter:
-            candA_ref, candS_ref = rest[3], rest[4]
-            nA, nS = _build_candidates(ks, cfg, cam_ref, light_ref,
-                                       tile_rows, tile_cols, row0, col0,
-                                       candA_ref, candS_ref)
-            prim_cand = (candA_ref, nA)
-            shadow_cand = (candS_ref, nS)
+            sphA_ref, sphS_ref, sphF_ref, flo_ref = rest[3:7]
+            nA, nS, nF, nfl = _build_candidates(
+                ks, cfg, cam_ref, light_ref, tile_rows, tile_cols, row0,
+                col0, sphA_ref, sphS_ref, sphF_ref, flo_ref)
+            prim_cand = (sphA_ref, nA, flo_ref, nfl)
+            shadow_cand = (sphS_ref, nS, flo_ref, nfl)
+            rest_cand = (sphF_ref, nF, flo_ref, nfl)
 
         ig = jnp.full(shape, -1, jnp.int32)
         flags = jnp.zeros(shape, jnp.int32)
         out = _raytrace(ks, cfg, vi, eye, 0, ig, flags,
-                        prim_cand=prim_cand, shadow_cand=shadow_cand)
+                        prim_cand=prim_cand, shadow_cand=shadow_cand,
+                        rest_cand=rest_cand)
 
         r_ref[:] = out.r
         g_ref[:] = out.g
@@ -1164,6 +1313,10 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
     in_specs = [smem(), smem(), smem(), smem(), smem()]
     inputs = [f32t, i32t, cam, light, org]
+    use_gtbl = n > _KERNEL_UNROLL_MAX
+    if use_gtbl:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        inputs += [_pack_gather_table(scene)]
     tex_meta = None
     if scene.textures is not None:
         tbl, meta = _pack_textures(scene)
@@ -1173,7 +1326,7 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
         inputs += [tbl, meta]
     prefilter = cfg.pallas_prefilter and n > _KERNEL_UNROLL_MAX
     kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid, tex_meta,
-                          prefilter=prefilter)
+                          prefilter=prefilter, use_gtbl=use_gtbl)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     r, g, b = pl.pallas_call(
@@ -1183,7 +1336,7 @@ def render_color_pallas(scene: Scene, cfg: RenderConfig,
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         scratch_shapes=(
-            [pltpu.SMEM((n,), jnp.int32)] * 2 if prefilter else []
+            [pltpu.SMEM((n,), jnp.int32)] * 4 if prefilter else []
         ),
         interpret=interpret,
     )(*inputs)
