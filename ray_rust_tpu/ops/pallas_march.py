@@ -786,10 +786,14 @@ def _raymarch(ks: _KernelScene, cfg: RenderConfig, vi: Vec3, eye: Vec3,
 
 
 def _make_kernel(cfg: RenderConfig, n_objects: int, tile_rows: int,
-                 tile_cols: int, col_grid: bool):
-    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, r_ref, g_ref,
-               b_ref):
-        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects)
+                 tile_cols: int, col_grid: bool, use_gtbl: bool = False):
+    def kernel(f32_ref, i32_ref, cam_ref, light_ref, org_ref, *rest):
+        gtbl = None
+        if use_gtbl:
+            gtbl = rest[0]
+            rest = rest[1:]
+        r_ref, g_ref, b_ref = rest[0:3]
+        ks = _KernelScene(f32_ref, i32_ref, light_ref, n_objects, gtbl=gtbl)
         row0, col0 = _tile_origin(tile_rows, tile_cols, col_grid)
         row0 = row0 + org_ref[0, 0]
         col0 = col0 + org_ref[0, 1]
@@ -841,18 +845,27 @@ def render_color_pallas_march(scene: Scene, cfg: RenderConfig,
         org = jnp.stack(
             [jnp.asarray(origin[0]), jnp.asarray(origin[1])]
         ).astype(jnp.int32).reshape(1, 2)
-    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid)
+    from .pallas_trace import _KERNEL_UNROLL_MAX, _pack_gather_table
+
+    use_gtbl = n > _KERNEL_UNROLL_MAX
+    kernel = _make_kernel(cfg, n, tile_rows, tile_cols, col_grid,
+                          use_gtbl=use_gtbl)
 
     out_shape = jax.ShapeDtypeStruct((h_pad, w_pad), jnp.float32)
     smem = functools.partial(pl.BlockSpec, memory_space=pltpu.SMEM)
+    in_specs = [smem(), smem(), smem(), smem(), smem()]
+    inputs = [f32t, i32t, cam, light, org]
+    if use_gtbl:
+        in_specs += [pl.BlockSpec(memory_space=pltpu.VMEM)]
+        inputs += [_pack_gather_table(scene)]
     r, g, b = pl.pallas_call(
         kernel,
         grid=grid,
-        in_specs=[smem(), smem(), smem(), smem(), smem()],
+        in_specs=in_specs,
         out_specs=(out_spec,) * 3,
         out_shape=(out_shape,) * 3,
         interpret=interpret,
-    )(f32t, i32t, cam, light, org)
+    )(*inputs)
 
     if h_pad != h or w_pad != w:
         r, g, b = r[:h, :w], g[:h, :w], b[:h, :w]

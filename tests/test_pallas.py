@@ -116,6 +116,38 @@ def test_pallas_big_scene_fori_path():
     _compare(ref, got, frac_budget=0.08, mean_tol=0.03)
 
 
+def test_pallas_march_big_scene_fori_path():
+    """March kernel in the fori_loop scene regime (>64 objects): the
+    position-based march sweep plus the lane-major gather table."""
+    from ray_rust_tpu.ops.pallas_march import render_color_pallas_march
+
+    rng = np.random.default_rng(3)
+    mats = [rt.MaterialSpec(name="floor", diffuse=(1.0, 1.0, 0.0),
+                            glow_dist=2.0)] + [
+        rt.MaterialSpec(name=f"m{i}", diffuse=tuple(rng.uniform(0.2, 1.0, 3)),
+                        specular=(0.3, 0.3, 0.3), pn=8)
+        for i in range(4)
+    ]
+    objs = [rt.FloorSpec("floor", (0.0, -300.0, 0.0), (0.0, 1.0, 0.0))] + [
+        rt.SphereSpec(
+            f"m{int(rng.integers(4))}", float(rng.uniform(20, 60)),
+            tuple(rng.uniform(-800, 800, 3) * np.array([1, 0.3, 1])
+                  + np.array([0, -150, 400])),
+        )
+        for _ in range(70)
+    ]
+    scene, _ = rt.build_scene(
+        mats, objs, (0.0, -150.0, -300.0), (0.0, -np.pi / 2, -np.pi / 2),
+        (50.0, 60.0, -50.0),
+    )
+    cfg = rt.RenderConfig(xres=32, yres=16, use_raymarching=True,
+                          glow_effect=1.0, max_refractions=1,
+                          march_max_iter=400, pallas_march_chunk=4)
+    ref = _img_np(render(scene, cfg))
+    got = _img_np(render_color_pallas_march(scene, cfg, interpret=True))
+    _compare(ref, got, frac_budget=0.08, mean_tol=0.03)
+
+
 def test_pallas_march_matches_jnp():
     """Fused march kernel (ops/pallas_march.py) vs the jnp march path,
     including glow. Knife-edge budget is wider: sphere tracing accumulates
