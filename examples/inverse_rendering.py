@@ -17,7 +17,12 @@ Run (TPU):        python examples/inverse_rendering.py --size 320
 from __future__ import annotations
 
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                                ".."))
 
 import numpy as np
 import jax
