@@ -309,6 +309,7 @@ def main():
 
     # ---- supplementary: march fwd+bwd (implicit-VJP gradients) ----
     march_fb_ms = None
+    march_fb_amort_ms = None
     if work_s() < BUDGETS["march_fwd_bwd"]:
         try:
             mcfg = rt.RenderConfig(xres=1280, yres=720, use_raymarching=True,
@@ -328,8 +329,29 @@ def main():
             m_t = timed(jax.jit(fb_march), scene, iters=2,
                         what="march fwd+bwd")
             march_fb_ms = m_t * 1e3
-            log(f"march fwd+bwd 720p: {march_fb_ms:.1f} ms -> "
+            log(f"march fwd+bwd 720p single-dispatch (r4-comparable): "
+                f"{march_fb_ms:.1f} ms -> "
                 f"{1280*720/m_t/1e6:.1f} Mrays/s primary")
+
+            # amortized 2-step chain (renderer cost; ~3.5 min extra compile)
+            def fb_march_chain(s):
+                def body(a, dx):
+                    cam = s.camera
+                    s2 = s._replace(camera=cam._replace(
+                        position=cam.position._replace(
+                            x=cam.position.x + dx)))
+                    return a + fb_march(s2), None
+
+                a, _ = jax.lax.scan(
+                    body, jnp.float32(0.0),
+                    jnp.arange(2, dtype=jnp.float32) * 1e-3)
+                return a
+
+            mc_t = timed(jax.jit(fb_march_chain), scene, iters=2,
+                         what="march fwd+bwd chain") / 2
+            march_fb_amort_ms = mc_t * 1e3
+            log(f"march fwd+bwd 720p amortized: {march_fb_amort_ms:.1f} ms "
+                f"-> {1280*720/mc_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"march fwd+bwd bench failed: {e}")
 
@@ -567,6 +589,9 @@ def main():
         extra["raymarch_budget1024_720p_ms"] = round(march_budget_ms, 1)
     if march_fb_ms is not None:
         extra["raymarch_fwd_bwd_720p_ms"] = round(march_fb_ms, 1)
+    if march_fb_amort_ms is not None:
+        extra["raymarch_fwd_bwd_720p_amortized_ms"] = round(
+            march_fb_amort_ms, 1)
     if stress_ms is not None:
         extra["stress_101obj_640x480_ms"] = round(stress_ms, 1)
     if tex_ms is not None:
