@@ -414,6 +414,7 @@ def main():
     tex_ms = None
     tex_single_ms = None
     tex_fb_ms = None
+    tex_fb_amort_ms = None
     if work_s() < BUDGETS["textured"]:
         try:
             import numpy as np
@@ -461,8 +462,27 @@ def main():
             tb_t = timed(jax.jit(fb_tex), tex_scene, iters=2,
                          what="textured fwd+bwd")
             tex_fb_ms = tb_t * 1e3
-            log(f"textured 1080p fwd+bwd: {tex_fb_ms:.1f} ms -> "
-                f"{rays/tb_t/1e6:.1f} Mrays/s primary")
+            log(f"textured 1080p fwd+bwd single-dispatch (r4-comparable): "
+                f"{tex_fb_ms:.1f} ms -> {rays/tb_t/1e6:.1f} Mrays/s primary")
+
+            def fb_tex_chain(s):
+                def body(a, dx):
+                    cam = s.camera
+                    s2 = s._replace(camera=cam._replace(
+                        position=cam.position._replace(
+                            x=cam.position.x + dx)))
+                    return a + fb_tex(s2), None
+
+                a, _ = jax.lax.scan(
+                    body, jnp.float32(0.0),
+                    jnp.arange(2, dtype=jnp.float32) * 1e-3)
+                return a
+
+            tc_t = timed(jax.jit(fb_tex_chain), tex_scene, iters=2,
+                         what="textured fwd+bwd chain") / 2
+            tex_fb_amort_ms = tc_t * 1e3
+            log(f"textured 1080p fwd+bwd amortized: {tex_fb_amort_ms:.1f} ms "
+                f"-> {rays/tc_t/1e6:.1f} Mrays/s primary")
         except Exception as e:  # supplementary only
             log(f"textured bench failed: {e}")
 
@@ -600,6 +620,9 @@ def main():
         extra["textured_1080p_single_dispatch_ms"] = round(tex_single_ms, 1)
     if tex_fb_ms is not None:
         extra["textured_fwd_bwd_1080p_ms"] = round(tex_fb_ms, 1)
+    if tex_fb_amort_ms is not None:
+        extra["textured_fwd_bwd_1080p_amortized_ms"] = round(
+            tex_fb_amort_ms, 1)
     if k4_ms is not None:
         extra["tiled_4k_fwd_ms"] = round(k4_ms, 1)
     if k4_dev_ms is not None:
