@@ -723,6 +723,33 @@ _N_MEXT = 2   # per-site march extras: travel t*, ddt
 _N_GEXT = 6   # glow extras: min_dist, gpos xyz, end flag, lap index
 
 
+def _zero_march_recs(nodes, glow_map, parent_key, shape) -> dict:
+    """Zero records for a skipped march-record subtree (tile-level gate):
+    the replay consumes them as all-miss sites (hit=0 -> bg re-add path)
+    and a finite, value-irrelevant glow record — exactly the contract the
+    trace-side _zero_recs already implements (see _p2_march_replay: gated
+    tiles' subtree output is discarded by the caller's f>0 blend)."""
+    zf = lambda: jnp.zeros(shape, jnp.float32)  # noqa: E731
+    zi = lambda: jnp.zeros(shape, jnp.int32)  # noqa: E731
+
+    def site():
+        return (tuple(zf() for _ in range(_F32_COLS)),
+                tuple(zi() for _ in range(_N_INT)),
+                (zf(), zf()))
+
+    def glow():
+        return (tuple(zf() for _ in range(_F32_COLS)),
+                tuple(zi() for _ in range(_N_INT)),
+                tuple(zf() for _ in range(_N_GEXT)))
+
+    out = {glow_map[parent_key]: glow()}
+    for n in nodes:
+        out[n.sid] = site()
+        if n.children:
+            out.update(_zero_march_recs(n.children, glow_map, n.sid, shape))
+    return out
+
+
 def _p1_march(ks: _KernelScene, cfg: RenderConfig, nodes, glow_map,
               parent_key, vi: Vec3, eye: Vec3, flags, ig, active, lev: int):
     """Primal march recording (mirrors pallas_march._raymarch lap-for-lap,
@@ -806,9 +833,21 @@ def _p1_march(ks: _KernelScene, cfg: RenderConfig, nodes, glow_map,
                               n.z * bend)).normalized()
             pt3 = pt + ray * F32_EPSILON
             sub_flags = jnp.where(sp < 0.0, OUTONLY, INONLY).astype(jnp.int32)
-            sub = _p1_march(ks, cfg, node.children, glow_map, node.sid,
-                            pt3, ray, sub_flags, res.idx, (f > 0.0) & shaded,
-                            lev_i)
+            sub_active = (f > 0.0) & shaded
+
+            def sub_fn(zrecs, node=node, pt3=pt3, ray=ray,
+                       sub_flags=sub_flags, res=res, sub_active=sub_active,
+                       lev_i=lev_i):
+                return _p1_march(ks, cfg, node.children, glow_map, node.sid,
+                                 pt3, ray, sub_flags, res.idx, sub_active,
+                                 lev_i)
+
+            # tile-level skip of the refraction subtree's record pass (same
+            # condition the forward march kernel gates on): tiles with no
+            # live transparent hit substitute zero records
+            sub = _tile_cond(
+                jnp.any(sub_active), sub_fn,
+                _zero_march_recs(node.children, glow_map, node.sid, shape))
             recs.update(sub)
 
         _zero = Color.zero(shape)
